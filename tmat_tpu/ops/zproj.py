@@ -1,0 +1,76 @@
+"""Z-projection kernels: axis reductions + fused focus stacking.
+
+Parity target: fl_tissue_model_tools/zstacks.py:134-249. The five projection
+methods keep the reference's numerics:
+
+- min/max/med/avg are plain reductions over Z (zstacks.py:192-249).
+- focus stacking (zstacks.py:153-189) selects, per pixel, the value from the
+  slice whose |Laplacian(GaussianBlur(slice))| is maximal, with the
+  reference's strict-greater update ≡ first-occurrence argmax over Z.
+
+TPU-first design: the whole stack is one device-resident (Z, H, W) array;
+blur+Laplacian run as batched separable convolutions over Z (treated as the
+batch axis, so the VPU sees large fused elementwise work), and slice
+selection is a single argmax + take_along_axis. Everything is inside one
+jit; `proj_focus_stacking_batch` vmaps it across a plate of stacks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tmat_tpu.ops.filters import gaussian_blur_cv2, laplacian_cv2
+
+
+def proj_avg(stack: jax.Array, axis: int = 0) -> jax.Array:
+    return jnp.mean(stack, axis=axis)
+
+
+def proj_med(stack: jax.Array, axis: int = 0) -> jax.Array:
+    return jnp.median(stack, axis=axis)
+
+
+def proj_max(stack: jax.Array, axis: int = 0) -> jax.Array:
+    return jnp.max(stack, axis=axis)
+
+
+def proj_min(stack: jax.Array, axis: int = 0) -> jax.Array:
+    return jnp.min(stack, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("kernel_size",))
+def _focus_stack_zhw(stack: jax.Array, kernel_size: int = 5) -> jax.Array:
+    """Fused focus-stacking over a (Z, H, W) stack."""
+    as_float = stack.astype(jnp.float32)
+    blurred = gaussian_blur_cv2(as_float, kernel_size)
+    sharpness = jnp.abs(laplacian_cv2(blurred, kernel_size))
+    # Strict-greater running update in the reference == first argmax here.
+    best_z = jnp.argmax(sharpness, axis=0)
+    return jnp.take_along_axis(stack, best_z[None], axis=0)[0]
+
+
+def proj_focus_stacking(
+    stack: jax.Array, axis: int = 0, kernel_size: int = 5
+) -> jax.Array:
+    """Focus-stacking projection (zstacks.py:153-189)."""
+    stack = jnp.asarray(stack)
+    if axis != 0:
+        stack = jnp.moveaxis(stack, axis, 0)
+    return _focus_stack_zhw(stack, kernel_size)
+
+
+# Batched variants: map a (B, Z, H, W) plate of stacks in one XLA program.
+proj_focus_stacking_batch = jax.jit(
+    jax.vmap(_focus_stack_zhw, in_axes=(0,)), static_argnames=()
+)
+
+PROJ_METHODS = {
+    "min": proj_min,
+    "max": proj_max,
+    "med": proj_med,
+    "avg": proj_avg,
+    "fs": proj_focus_stacking,
+}
