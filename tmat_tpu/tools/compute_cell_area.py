@@ -1,0 +1,197 @@
+"""Compute cell coverage area in a directory of Z-stacks or Z-projections.
+
+If 3-D data is provided, a maximum-intensity Z projection is applied before
+the area calculation. CLI surface and outputs (thresholded/{id}_thresholded
+.png, optional {id}_well_mask.png, calculations/cell_area.csv with
+image_id/area_pct columns) match the reference scripts/compute_cell_area.py.
+
+TPU-first design: instead of the reference's dask-thread fan-out of per-image
+sklearn GMM fits, images in a batch are stacked by shape and the rescale +
+masked GMM-EM threshold + area reduction run as ONE vmapped jit per shape
+bucket (ops/threshold.py). Well masks are the device pipeline in
+ops/wellmask.py.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+from collections import defaultdict
+
+import jax.numpy as jnp
+import numpy as np
+
+from tmat_tpu.core import defs, io as tio
+from tmat_tpu.core.log import SFM, END_SEPARATOR, section_footer, section_header
+from tmat_tpu.ops.rescale import rescale_intensity
+from tmat_tpu.ops.resize import downsample_max_dim_shape, resize
+from tmat_tpu.ops.threshold import exec_threshold, exec_threshold_batch
+from tmat_tpu.ops.wellmask import generate_well_mask
+from tmat_tpu.tools import args as su
+
+THRESH_SUBDIR = "thresholded"
+CALC_SUBDIR = "calculations"
+DEFAULT_CONFIG_NAME = "default_cell_area_computation.json"
+
+
+def load_img(img_path, dsamp_size=None, T=None, C=None) -> np.ndarray:
+    """Load, max-project if 3-D, and downsample (compute_cell_area.py:29-57)."""
+    img = tio.load_image(img_path, T, C)[0]
+    if img.ndim == 3:
+        img = img.max(0)
+    if dsamp_size is not None:
+        target = downsample_max_dim_shape(img.shape, dsamp_size)
+        img = np.asarray(resize(jnp.asarray(img, jnp.float32), target, "linear"))
+    return img
+
+
+def mask_and_threshold(img, sd_coef, well_mask=None) -> np.ndarray:
+    """Rescale to [0,1], mask, GMM-threshold, binarize
+    (compute_cell_area.py:60-87)."""
+    img = rescale_intensity(jnp.asarray(img, jnp.float32), out_range=(0, 1))
+    if well_mask is not None:
+        wm = jnp.asarray(well_mask)
+        img = jnp.where(wm > 0, img, 0.0)
+        out = exec_threshold(img, wm, sd_coef)
+    else:
+        out = exec_threshold(img, None, sd_coef)
+    return (np.asarray(out) > 0).astype(np.uint8) * defs.MAX_UINT8
+
+
+def main(args=None, argv=None):
+    """Computes cell area and saves to output directory."""
+    default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
+    if args is None:
+        args = su.parse_cell_area_args(
+            {"default_config_path": default_config_path}, argv
+        )
+        args_prespecified = False
+    else:
+        args_prespecified = True
+
+    all_img_paths = su.cell_area_verify_input_dir(args.in_root)
+
+    try:
+        su.verify_output_dir(args.out_root, [THRESH_SUBDIR, CALC_SUBDIR])
+    except PermissionError as error:
+        print(f"{SFM.failure} {error}", flush=True)
+        sys.exit(1)
+
+    config_path = (
+        default_config_path
+        if args_prespecified or getattr(args, "config", None) is None
+        else args.config
+    )
+    try:
+        config = su.verify_config_file(config_path)
+    except FileNotFoundError as error:
+        print(f"{SFM.failure} {error}", flush=True)
+        sys.exit(1)
+
+    section_header("Performing Analysis")
+
+    dsamp_size = config["dsamp_size"]
+    cli_sd_coef = getattr(args, "sd_coef", None)
+    sd_coef = config["sd_coef"] if cli_sd_coef is None else cli_sd_coef
+    batch_size = config["batch_size"]
+    detect_well = getattr(args, "detect_well", False)
+    rs_seed = config.get("rs_seed", 0)
+    rs_seed = 0 if rs_seed in (None, "None") else int(rs_seed)
+
+    img_ids, img_path_list = zip(*all_img_paths.items())
+    test_img_path = np.atleast_1d(img_path_list[0])[0]
+    if tio.get_image_dims(test_img_path).Z > 1:
+        print(
+            f"{SFM.warning} Input images are Z stacks. Creating maximum intensity "
+            "Z projections prior to cell area calculation.",
+            flush=True,
+        )
+
+    area_prop = []
+    gmm_thresh_all = []
+    all_well_masks = []
+
+    def chunks(lst, n):
+        for i in range(0, len(lst), n):
+            yield lst[i : i + n]
+
+    for batch_paths in chunks(list(img_path_list), batch_size):
+        try:
+            imgs = [
+                load_img(p, dsamp_size=dsamp_size, T=args.time, C=args.channel)
+                for p in batch_paths
+            ]
+        except OSError as error:
+            print(f"{SFM.failure}{error}", flush=True)
+            sys.exit(1)
+
+        if detect_well:
+            well_masks = [
+                generate_well_mask(img, mask_val=defs.MAX_UINT8, seed=rs_seed)
+                for img in imgs
+            ]
+            well_areas = [int((wm > 0).sum()) for wm in well_masks]
+        else:
+            well_masks = [None] * len(imgs)
+            well_areas = [None] * len(imgs)
+        all_well_masks.extend(well_masks)
+
+        # Bucket same-shape images so each bucket is ONE vmapped device call.
+        buckets = defaultdict(list)
+        for i, img in enumerate(imgs):
+            buckets[img.shape].append(i)
+        thresholded = [None] * len(imgs)
+        for shape, idxs in buckets.items():
+            if detect_well or len(idxs) == 1:
+                for i in idxs:
+                    thresholded[i] = mask_and_threshold(
+                        imgs[i], sd_coef, well_masks[i]
+                    )
+            else:
+                stack = jnp.stack(
+                    [
+                        rescale_intensity(jnp.asarray(imgs[i], jnp.float32), (0, 1))
+                        for i in idxs
+                    ]
+                )
+                ones = jnp.ones_like(stack)
+                out = np.asarray(exec_threshold_batch(stack, ones, sd_coef))
+                for j, i in enumerate(idxs):
+                    thresholded[i] = (out[j] > 0).astype(np.uint8) * defs.MAX_UINT8
+
+        gmm_thresh_all.extend(thresholded)
+        for i, timg in enumerate(thresholded):
+            ref_area = well_areas[i] if well_areas[i] is not None else timg.size
+            area_prop.append(float((timg > 0).sum()) / ref_area)
+
+    area_prop = np.array(area_prop)
+    print("... Areas computed successfully.", flush=True)
+    print(SFM.success, flush=True)
+    section_footer()
+
+    section_header("Saving Results...")
+    clean_ids = [i.replace("/", "_").replace("\\", "_") for i in img_ids]
+
+    for i, img_id in enumerate(clean_ids):
+        if detect_well:
+            file = os.path.join(args.out_root, THRESH_SUBDIR, f"{img_id}_well_mask.png")
+            tio.save_image(tio.get_unique_output_filepath(file), all_well_masks[i])
+        file = os.path.join(args.out_root, THRESH_SUBDIR, f"{img_id}_thresholded.png")
+        tio.save_image(tio.get_unique_output_filepath(file), gmm_thresh_all[i])
+
+    area_out_path = os.path.join(args.out_root, CALC_SUBDIR, "cell_area.csv")
+    area_out_path = tio.get_unique_output_filepath(area_out_path)
+    with open(area_out_path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["image_id", "area_pct"])
+        for img_id, prop in zip(clean_ids, area_prop):
+            writer.writerow([img_id, prop * 100])
+
+    print(f"... Area calculations saved to:{os.linesep}\t{area_out_path}", flush=True)
+    print(SFM.success, flush=True)
+    print(END_SEPARATOR, flush=True)
+
+
+if __name__ == "__main__":
+    main()

