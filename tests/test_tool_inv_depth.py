@@ -1,0 +1,79 @@
+"""End-to-end test of the compute_inv_depth tool with a tiny ensemble."""
+
+import csv
+import json
+
+import numpy as np
+from PIL import Image
+
+from tmat_tpu.core import defs
+from tmat_tpu.models.params_io import save_params
+from tmat_tpu.models.resnet import build_resnet50_tl
+from tmat_tpu.tools import compute_inv_depth
+
+
+def _setup_model_dir(tmp_path, n_models=2, inp=64):
+    mt = tmp_path / "model_training"
+    ens = mt / "best_ensemble"
+    ens.mkdir(parents=True)
+    (mt / "invasion_depth_best_hp.json").write_text(
+        json.dumps(
+            {
+                "adam_beta_1": 0.9,
+                "adam_beta_2": 0.99,
+                "fine_tune_lr": 1e-4,
+                "frozen_lr": 1e-4,
+                "last_resnet_layer": "conv4_block6_out",
+            }
+        )
+    )
+    (mt / "invasion_depth_training_values.json").write_text(
+        json.dumps(
+            {
+                "cls_thresh": 0.5,
+                "resnet_inp_shape": [inp, inp, 3],
+                "n_models": n_models,
+                "rs_seed": "None",
+            }
+        )
+    )
+    # histories rank member 1 best
+    for i, loss in enumerate(np.linspace(0.4, 0.2, n_models)):
+        with open(ens / f"best_model_history_{i}.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["val_loss", "training_stage"])
+            w.writeheader()
+            w.writerow({"val_loss": loss, "training_stage": "finetune"})
+    for i in range(n_models):
+        _, variables = build_resnet50_tl(
+            1, (inp, inp, 3), base_last_layer="conv4_block6_out", seed=i
+        )
+        save_params(ens / f"best_finetune_weights_{i}.msgpack", variables)
+    return mt
+
+
+def test_inv_depth_end_to_end(tmp_path, rng, monkeypatch):
+    mt = _setup_model_dir(tmp_path)
+    monkeypatch.setattr(defs, "MODEL_TRAINING_DIR", mt)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    stack = rng.randint(0, 255, size=(3, 80, 80)).astype(np.uint8)
+    frames = [Image.fromarray(s) for s in stack]
+    frames[0].save(in_dir / "well1.tif", save_all=True, append_images=frames[1:])
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({"n_pred_models": 2}))
+
+    out_dir = tmp_path / "out"
+    compute_inv_depth.main(argv=[str(in_dir), str(out_dir), "-c", str(cfg)])
+
+    csv_path = out_dir / "invasion_depth_predictions.csv"
+    assert csv_path.is_file()
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    for z, row in enumerate(rows):
+        assert row["Z Slice ID"] == f"well1_z{z}"
+        prob = float(row["Invasion Probability"])
+        assert 0.0 <= prob <= 1.0
+        assert row["Invasion Prediction (0=no 1=yes)"] == str(int(prob > 0.5))

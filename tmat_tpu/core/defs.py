@@ -33,6 +33,9 @@ PKG_CFG_PATH = PKG_BASE_DIR / "package.cfg"
 PKG_CONFIG_DIR = PKG_BASE_DIR.parent / "config"
 if not PKG_CONFIG_DIR.is_dir():
     PKG_CONFIG_DIR = PKG_BASE_DIR / "config"
+PKG_MODEL_DIR = PKG_BASE_DIR.parent / "model_training"
+if not PKG_MODEL_DIR.is_dir():
+    PKG_MODEL_DIR = PKG_BASE_DIR / "model_training"
 
 
 def _read_user_base_dir() -> Path:
@@ -65,3 +68,13 @@ def default_config_path(name: str) -> Path:
     if user.is_file():
         return user
     return PKG_CONFIG_DIR / name
+
+
+def model_training_path(relpath: str) -> Path:
+    """Path under model_training/, preferring the user base dir over the
+    packaged defaults (mirrors defs.MODEL_TRAINING_DIR usage at
+    compute_inv_depth.py:53-115, models.py:669-671)."""
+    user = MODEL_TRAINING_DIR / relpath
+    if user.exists():
+        return user
+    return PKG_MODEL_DIR / relpath

@@ -1,0 +1,46 @@
+"""Input preprocessing for the invasion-depth classifier.
+
+Parity target: fl_tissue_model_tools/data_prep.py:17-61 — per-slice LANCZOS
+resize to the classifier input size, rescale to 0-255, replicate grayscale
+to 3 channels, then Keras resnet50.preprocess_input (caffe mode: RGB->BGR +
+ImageNet mean subtraction).
+
+TPU-first: the whole Z stack is preprocessed in one jitted batched call
+instead of the reference's per-slice dask threads.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tmat_tpu.ops.rescale import rescale_intensity
+from tmat_tpu.ops.resize import resize
+
+# Keras caffe-mode ImageNet means (BGR order)
+_CAFFE_MEAN_BGR = jnp.array([103.939, 116.779, 123.68], jnp.float32)
+
+
+def resnet50_preprocess(x: jax.Array) -> jax.Array:
+    """Keras resnet50.preprocess_input: RGB->BGR, subtract ImageNet means."""
+    x = x.astype(jnp.float32)
+    x = x[..., ::-1]
+    return x - _CAFFE_MEAN_BGR
+
+
+@partial(jax.jit, static_argnames=("img_hw",))
+def prep_inv_depth_imgs(images: jax.Array, img_hw: Tuple[int, int]) -> jax.Array:
+    """Preprocess a (Z, H, W) stack to classifier inputs (Z, h, w, 3).
+
+    Each slice is rescaled to its own 0-255 range (data_prep.py:36).
+    """
+    images = images.astype(jnp.float32)
+    if images.ndim == 2:
+        images = images[None]
+    resized = resize(images, tuple(img_hw), "lanczos4")
+    rescaled = jax.vmap(lambda im: rescale_intensity(im, out_range=(0, 255)))(resized)
+    three_ch = jnp.repeat(rescaled[..., None], 3, axis=-1)
+    return resnet50_preprocess(three_ch)

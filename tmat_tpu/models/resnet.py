@@ -1,0 +1,171 @@
+"""ResNet50 transfer-learning classifier (Flax).
+
+Architecture parity: Keras applications ResNet50 as used by
+build_ResNet50_TL (models.py:33-82) — v1 bottleneck blocks (stride on the
+first 1x1), BN eps 1.001e-5, truncation at a named conv-block output
+("conv4_block6_out", "conv5_block{1,2,3}_out"), then GAP -> Dense(n) ->
+activation. The base runs in inference mode (frozen BN statistics) even
+during fine-tuning, matching the Keras `base_model(inputs, training=False)`
+call at models.py:71.
+
+The invasion-depth ensemble stacks k parameter pytrees and vmaps apply over
+the member axis, so "n_models x predict" (compute_inv_depth.py:160) becomes
+one device call.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1.001e-5
+
+# blocks per stage for ResNet50
+_STAGE_BLOCKS = {2: 3, 3: 4, 4: 6, 5: 3}
+_STAGE_FILTERS = {2: 64, 3: 128, 4: 256, 5: 512}
+
+LAST_LAYER_OPTIONS = (
+    "conv5_block3_out",
+    "conv5_block2_out",
+    "conv5_block1_out",
+    "conv4_block6_out",
+)
+
+
+def _parse_last_layer(name: str) -> Tuple[int, int]:
+    """'conv4_block6_out' -> (4, 6)."""
+    parts = name.split("_")
+    stage = int(parts[0][4:])
+    block = int(parts[1][5:])
+    if stage not in _STAGE_BLOCKS or not 1 <= block <= _STAGE_BLOCKS[stage]:
+        raise ValueError(f"Unsupported ResNet50 truncation layer: {name}")
+    return stage, block
+
+
+class BottleneckBlock(nn.Module):
+    """Keras-style ResNet v1 bottleneck (stride on first 1x1)."""
+
+    filters: int
+    stride: int
+    conv_shortcut: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=True, epsilon=BN_EPS, dtype=self.dtype, name=name
+        )
+        if self.conv_shortcut:
+            shortcut = nn.Conv(
+                4 * self.filters, (1, 1), strides=self.stride, dtype=self.dtype,
+                name="0_conv",
+            )(x)
+            shortcut = bn("0_bn")(shortcut)
+        else:
+            shortcut = x
+
+        y = nn.Conv(
+            self.filters, (1, 1), strides=self.stride, dtype=self.dtype, name="1_conv"
+        )(x)
+        y = bn("1_bn")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype, name="2_conv")(y)
+        y = bn("2_bn")(y)
+        y = nn.relu(y)
+        y = nn.Conv(4 * self.filters, (1, 1), dtype=self.dtype, name="3_conv")(y)
+        y = bn("3_bn")(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNet50Base(nn.Module):
+    """ResNet50 feature extractor truncated at ``last_layer``."""
+
+    last_layer: str = "conv5_block3_out"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        last_stage, last_block = _parse_last_layer(self.last_layer)
+        x = x.astype(self.dtype)
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = nn.Conv(64, (7, 7), strides=2, padding="VALID", dtype=self.dtype, name="conv1_conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=True, epsilon=BN_EPS, dtype=self.dtype, name="conv1_bn"
+        )(x)
+        x = nn.relu(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+        for stage in range(2, last_stage + 1):
+            n_blocks = _STAGE_BLOCKS[stage] if stage < last_stage else last_block
+            for block in range(1, n_blocks + 1):
+                stride = 1 if (stage == 2 or block > 1) else 2
+                x = BottleneckBlock(
+                    filters=_STAGE_FILTERS[stage],
+                    stride=stride,
+                    conv_shortcut=(block == 1),
+                    dtype=self.dtype,
+                    name=f"conv{stage}_block{block}",
+                )(x)
+        return x
+
+
+class ResNet50TL(nn.Module):
+    """Truncated ResNet50 + GAP + Dense head (models.py:33-82)."""
+
+    n_outputs: int = 1
+    last_layer: str = "conv5_block3_out"
+    output_act: str = "sigmoid"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ResNet50Base(self.last_layer, self.dtype, name="base_model")(x)
+        x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
+        x = nn.Dense(self.n_outputs, name="head")(x.astype(jnp.float32))
+        if self.output_act == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.output_act == "softmax":
+            x = nn.softmax(x)
+        return x
+
+
+def build_resnet50_tl(
+    n_outputs: int,
+    img_shape: Tuple[int, int, int],
+    base_last_layer: str = "conv5_block3_out",
+    output_act: str = "sigmoid",
+    dtype: jnp.dtype = jnp.float32,
+    seed: int = 0,
+):
+    """Create the TL model and initialized variables.
+
+    ImageNet base weights are not bundled (zero-egress build); train via
+    models/train.py or load converted checkpoints with params_io.
+    """
+    model = ResNet50TL(
+        n_outputs=n_outputs,
+        last_layer=base_last_layer,
+        output_act=output_act,
+        dtype=dtype,
+    )
+    dummy = jnp.zeros((1, *img_shape), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    return model, variables
+
+
+def stack_ensemble_variables(variable_list: Sequence[Any]) -> Any:
+    """Stack k parameter pytrees along a new leading member axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *variable_list)
+
+
+def make_ensemble_apply(model: ResNet50TL):
+    """vmapped apply over the stacked member axis: (params_k, x) -> (k, B, n)."""
+
+    def single(variables, x):
+        return model.apply(variables, x, train=False)
+
+    return jax.jit(jax.vmap(single, in_axes=(0, None)))

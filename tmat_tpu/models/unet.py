@@ -1,0 +1,250 @@
+"""UNet-Xception segmentation model (Flax) + patch segmentor wrapper.
+
+Architecture parity: the reference's Keras builder (models.py:85-171), an
+Xception-style UNet — strided entry conv, separable-conv down blocks with
+1x1 strided residuals, transpose-conv up blocks with upsampled residuals,
+sigmoid head. Filter counts must increase consecutively by a factor of 2
+(models.py:114).
+
+TPU-first: NHWC, optional bfloat16 compute (params stay f32), BatchNorm
+with Keras momentum/epsilon, whole patch batches in one call. The patch
+segmentor delegates to the fused tiled-inference kernel (ops/tiled.py)
+instead of the reference's host loop over 8 TTA rotations x 16-patch
+chunks (smooth_tiled_predictions.py:136-217).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmat_tpu.core import defs
+from tmat_tpu.models.params_io import load_params
+from tmat_tpu.ops.resize import resize, target_shape_for_ratio
+from tmat_tpu.ops.tiled import predict_img_with_smooth_windowing
+
+
+def check_consec_factor(x: Sequence[float], factor: float) -> bool:
+    """Elements increase consecutively by ``factor`` (models_util.py:194-216)."""
+    return all(x[i] == x[i - 1] * factor for i in range(1, len(x)))
+
+
+class SeparableConv(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 (Keras SeparableConv2D)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch,
+            (3, 3),
+            feature_group_count=in_ch,
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.features, (1, 1), padding="SAME", dtype=self.dtype, name="pointwise"
+        )(x)
+        return x
+
+
+class UNetXception(nn.Module):
+    """Xception-style UNet (models.py:85-171)."""
+
+    n_outputs: int = 1
+    filter_counts: Tuple[int, ...] = (32, 64, 128, 256)
+    output_act: str = "sigmoid"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        filter_counts = tuple(sorted(self.filter_counts))
+        assert check_consec_factor(filter_counts, 2), (
+            "Filter depths do not increase consecutively by a factor of 2."
+        )
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.99,
+            epsilon=1e-3,
+            dtype=self.dtype,
+        )
+
+        x = x.astype(self.dtype)
+        # Entry block
+        x = nn.Conv(filter_counts[0], (3, 3), strides=2, padding="SAME", dtype=self.dtype)(x)
+        x = norm()(x)
+        x = nn.relu(x)
+        previous = x
+
+        # Downsampling Xception blocks
+        for i, filters in enumerate(filter_counts[1:]):
+            if i != 0:
+                x = nn.relu(x)
+            x = SeparableConv(filters, self.dtype)(x)
+            x = norm()(x)
+            x = nn.relu(x)
+            x = SeparableConv(filters, self.dtype)(x)
+            x = norm()(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+            residual = nn.Conv(
+                filters, (1, 1), strides=2, padding="SAME", dtype=self.dtype
+            )(previous)
+            x = x + residual
+            previous = x
+
+        # Upsampling blocks
+        for filters in reversed(filter_counts):
+            x = nn.relu(x)
+            x = nn.ConvTranspose(filters, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x = norm()(x)
+            x = nn.relu(x)
+            x = nn.ConvTranspose(filters, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x = norm()(x)
+            x = _upsample2(x)
+            residual = nn.Conv(filters, (1, 1), padding="SAME", dtype=self.dtype)(
+                _upsample2(previous)
+            )
+            x = x + residual
+            previous = x
+
+        x = nn.Conv(self.n_outputs, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
+        if self.output_act == "sigmoid":
+            x = nn.sigmoid(x)
+        elif self.output_act == "softmax":
+            x = nn.softmax(x)
+        return x
+
+
+def _upsample2(x: jax.Array) -> jax.Array:
+    """Keras UpSampling2D(2), nearest-neighbor."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+def build_unet_xception(
+    n_outputs: int,
+    img_shape: Tuple[int, int],
+    channels: int = 1,
+    filter_counts: Tuple[int, ...] = (32, 64, 128, 256),
+    output_act: str = "sigmoid",
+    dtype: jnp.dtype = jnp.float32,
+    seed: int = 0,
+):
+    """Create the model and initialized variables (params + batch_stats)."""
+    model = UNetXception(
+        n_outputs=n_outputs,
+        filter_counts=tuple(filter_counts),
+        output_act=output_act,
+        dtype=dtype,
+    )
+    dummy = jnp.zeros((1, img_shape[0], img_shape[1], channels), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    return model, variables
+
+
+class UNetXceptionPatchSegmentor:
+    """Binary segmentation on large images via fused tiled patches.
+
+    Parity: models.py:597-653 — LANCZOS downsample by ds_ratio, optional
+    mean/std normalization, spline-window smooth tiling (subdivisions=2),
+    NEAREST upsample of the prediction back to the input size.
+    """
+
+    def __init__(
+        self,
+        patch_size: int,
+        checkpoint_file,
+        filter_counts: Tuple[int, ...],
+        ds_ratio: float = 0.5,
+        norm_mean: Optional[float] = None,
+        norm_std: Optional[float] = None,
+        channels: int = 1,
+        dtype: jnp.dtype = jnp.float32,
+    ):
+        self.patch_size = patch_size
+        self.channels = channels
+        self.norm_mean = norm_mean
+        self.norm_std = norm_std
+        self.ds_ratio = ds_ratio
+        self.model, template = build_unet_xception(
+            1,
+            (patch_size, patch_size),
+            channels=channels,
+            filter_counts=filter_counts,
+            output_act="sigmoid",
+            dtype=dtype,
+        )
+        if checkpoint_file is not None:
+            self.variables = load_params(checkpoint_file, template)
+        else:
+            self.variables = template
+
+        model = self.model
+        variables = self.variables
+
+        def pred_fn(batch):
+            return model.apply(variables, batch, train=False)
+
+        self._pred_fn = pred_fn
+
+    def predict(self, x: np.ndarray, auto_resample: bool = True) -> np.ndarray:
+        x = jnp.asarray(x, jnp.float32)
+        original_shape = tuple(x.shape[:2])
+        target_shape = target_shape_for_ratio(original_shape, self.ds_ratio)
+        do_resampling = original_shape != target_shape and auto_resample
+        if do_resampling:
+            x = resize(x, target_shape, "lanczos")
+
+        if self.norm_mean is not None and self.norm_std is not None:
+            x = (x - self.norm_mean) / self.norm_std
+
+        pred = predict_img_with_smooth_windowing(
+            x,
+            window_size=self.patch_size,
+            subdivisions=2,
+            pred_func=self._pred_fn,
+            channels=self.channels,
+        )
+
+        if do_resampling:
+            pred = resize(pred, original_shape, "nearest")
+        return np.asarray(pred)
+
+
+def get_unet_patch_segmentor_from_cfg(cfg_json: str) -> UNetXceptionPatchSegmentor:
+    """Instantiate a patch segmentor from a config JSON (models.py:656-684)."""
+    with open(cfg_json, "r") as fp:
+        cfg = json.load(fp)
+
+    checkpoint_file = cfg["checkpoint_file"]
+    if not Path(checkpoint_file).is_absolute():
+        checkpoint_file = (
+            Path(defs.MODEL_TRAINING_DIR)
+            / "binary_segmentation"
+            / "checkpoints"
+            / checkpoint_file
+        )
+
+    return UNetXceptionPatchSegmentor(
+        cfg["patch_size"],
+        checkpoint_file,
+        tuple(cfg["filter_counts"]),
+        ds_ratio=cfg.get("ds_ratio", 1),
+        norm_mean=cfg.get("norm_mean", None),
+        norm_std=cfg.get("norm_std", None),
+        channels=cfg.get("channels", 1),
+    )

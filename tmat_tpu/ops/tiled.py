@@ -1,0 +1,171 @@
+"""Fused smooth tiled inference with D4 test-time augmentation.
+
+Parity target: fl_tissue_model_tools/smooth_tiled_predictions.py:26-267
+(the vendored Vooban "Smoothly-Blend-Image-Patches"): squared-spline 2-D
+window, constant padding at img.min(), 8x dihedral TTA, overlapping patch
+grid with step = window/subdivisions, weighted overlap-add, /subdivisions^2
+normalization.
+
+TPU-first redesign: the reference runs 8 rotations x ceil(P/16) separate
+host->device predict calls with NumPy assembling patches between each.
+Here the ENTIRE pipeline — pad, 8-way TTA, patch gather, model forward on
+one large batch, spline weighting, scatter-add blend, normalization,
+inverse TTA, unpad — is one jitted XLA program per image shape; patches
+never leave HBM.
+
+One behavioral improvement (documented): the padded canvas is extended so
+the patch grid exactly tiles it. The reference's grid silently truncates
+when (size - window) % step != 0, leaving under-covered bottom/right rows
+that its /subdivisions^2 normalization then under-weights; here every
+pixel of the original image has exact subdivisions^2 coverage.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal.windows import triang
+
+
+def spline_window(window_size: int, power: int = 2) -> np.ndarray:
+    """Squared-spline 1-D window (smooth_tiled_predictions.py:26-41)."""
+    intersection = int(window_size / 4)
+    wind_outer = (abs(2 * triang(window_size)) ** power) / 2
+    wind_outer[intersection:-intersection] = 0
+    wind_inner = 1 - (abs(2 * (triang(window_size) - 1)) ** power) / 2
+    wind_inner[:intersection] = 0
+    wind_inner[-intersection:] = 0
+    wind = wind_inner + wind_outer
+    return (wind / np.average(wind)).astype(np.float32)
+
+
+def window_2d(window_size: int, power: int = 2) -> np.ndarray:
+    """Outer-product 2-D window, shape (w, w, 1)
+    (smooth_tiled_predictions.py:47-65)."""
+    wind = spline_window(window_size, power)
+    return (wind[:, None] * wind[None, :])[..., None].astype(np.float32)
+
+
+def _d4_do(img: jax.Array) -> jax.Array:
+    """All 8 dihedral transforms of a square (H, W, C) image -> (8, H, W, C)."""
+    flip = img[:, ::-1]
+    return jnp.stack(
+        [
+            img,
+            jnp.rot90(img, 1),
+            jnp.rot90(img, 2),
+            jnp.rot90(img, 3),
+            flip,
+            jnp.rot90(flip, 1),
+            jnp.rot90(flip, 2),
+            jnp.rot90(flip, 3),
+        ]
+    )
+
+
+def _d4_undo_mean(stack: jax.Array) -> jax.Array:
+    """Invert the 8 transforms and average (smooth_tiled_predictions.py:116-133)."""
+    outs = [
+        stack[0],
+        jnp.rot90(stack[1], 3),
+        jnp.rot90(stack[2], 2),
+        jnp.rot90(stack[3], 1),
+        stack[4][:, ::-1],
+        jnp.rot90(stack[5], 3)[:, ::-1],
+        jnp.rot90(stack[6], 2)[:, ::-1],
+        jnp.rot90(stack[7], 1)[:, ::-1],
+    ]
+    return jnp.mean(jnp.stack(outs), axis=0)
+
+
+def _tiled_core(
+    img: jax.Array,
+    pred_func: Callable,
+    window_size: int,
+    subdivisions: int,
+    out_channels: int,
+) -> jax.Array:
+    """The fused pipeline; shapes are static at trace time."""
+    h, w = img.shape[0], img.shape[1]
+    if img.ndim == 2:
+        img = img[..., None]
+    step = window_size // subdivisions
+    aug = int(round(window_size * (1 - 1.0 / subdivisions)))
+
+    # Square, grid-aligned canvas
+    side = max(h, w) + 2 * aug
+    n_steps = max(0, math.ceil((side - window_size) / step))
+    side = window_size + n_steps * step
+    pad_bottom = side - h - aug
+    pad_right = side - w - aug
+    fill = jnp.min(img)
+    padded = jnp.pad(
+        img,
+        ((aug, pad_bottom), (aug, pad_right), (0, 0)),
+        mode="constant",
+        constant_values=fill,
+    )
+
+    tta = _d4_do(padded)  # (8, S, S, C)
+    n = n_steps + 1
+
+    # Gather overlapping patches: (8, n, n, win, win, C)
+    bands = jnp.stack(
+        [tta[:, i * step : i * step + window_size] for i in range(n)], axis=1
+    )
+    patches = jnp.stack(
+        [bands[:, :, :, j * step : j * step + window_size] for j in range(n)], axis=2
+    )
+    batch = patches.reshape((8 * n * n, window_size, window_size, img.shape[-1]))
+
+    preds = pred_func(batch)  # (B, win, win, out_c)
+    preds = preds.astype(jnp.float32)
+    if preds.ndim == 3:
+        preds = preds[..., None]
+
+    spline = jnp.asarray(window_2d(window_size))
+    preds = preds * spline[None]
+    preds = preds.reshape((8, n, n, window_size, window_size, out_channels))
+
+    # Overlap-add blend
+    canvas = jnp.zeros((8, side, side, out_channels), jnp.float32)
+    for i in range(n):
+        for j in range(n):
+            canvas = canvas.at[
+                :, i * step : i * step + window_size, j * step : j * step + window_size
+            ].add(preds[:, i, j])
+    canvas = canvas / (subdivisions**2)
+
+    merged = _d4_undo_mean(canvas)  # (S, S, out_c)
+    out = merged[aug : aug + h, aug : aug + w]
+    if out_channels == 1:
+        out = out[..., 0]
+    return out
+
+
+# Cache of jitted pipelines keyed by (pred_func id, geometry)
+_JIT_CACHE: Dict[Tuple, Callable] = {}
+
+
+def predict_img_with_smooth_windowing(
+    input_img: jax.Array,
+    window_size: int,
+    subdivisions: int,
+    pred_func: Callable,
+    channels: int = 1,
+    out_channels: int = 1,
+) -> jax.Array:
+    """Smoothly-blended tiled prediction over a (H, W[, C]) image."""
+    img = jnp.asarray(input_img, jnp.float32)
+    key = (id(pred_func), img.shape, window_size, subdivisions, out_channels)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda x: _tiled_core(x, pred_func, window_size, subdivisions, out_channels)
+        )
+        _JIT_CACHE[key] = fn
+    return fn(img)

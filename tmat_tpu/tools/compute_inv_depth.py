@@ -1,8 +1,183 @@
-"""Predict depth of invasion in input directory of Z-stacks or Z-projections."""
+"""Predict depths of invasion in input directory of Z-stacks or Z-projections.
+
+Analyzes invasion depth with an ensemble of ResNet50 classifiers: for every
+Z slice of each stack, each ensemble member predicts invasion probability;
+the mean probability is thresholded at cls_thresh. CLI surface and CSV
+output (invasion_depth_predictions.csv with Z Slice ID / Invasion
+Probability / Invasion Prediction columns) match the reference
+scripts/compute_inv_depth.py:31-187.
+
+TPU-first: ensemble members are a stacked parameter pytree; all members x
+all Z slices run as ONE vmapped device call per stack instead of the
+reference's n_models sequential Keras predicts. Slice preprocessing
+(resize/rescale/3-channel/caffe) is a single jitted batch op.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
 import sys
-from tmat_tpu.core.log import SFM
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+
+from tmat_tpu.core import defs, io as tio
+from tmat_tpu.core.log import SFM, section_footer, section_header
+from tmat_tpu.models.preprocess import prep_inv_depth_imgs
+from tmat_tpu.models.resnet import (
+    build_resnet50_tl,
+    make_ensemble_apply,
+    stack_ensemble_variables,
+)
+from tmat_tpu.models.params_io import load_params
+from tmat_tpu.tools import args as su
+
+DEFAULT_CONFIG_NAME = "default_invasion_depth_computation.json"
+
+
+def _rank_models_by_history(ensemble_dir: Path, n_models: int) -> np.ndarray:
+    """Rank members by best fine-tune val_loss (compute_inv_depth.py:86-92).
+
+    Falls back to identity order when histories are absent.
+    """
+    best_val_losses = np.full(n_models, np.inf)
+    for i in range(n_models):
+        hist = ensemble_dir / f"best_model_history_{i}.csv"
+        if not hist.is_file():
+            continue
+        with open(hist) as fp:
+            rows = [r for r in csv.DictReader(fp) if r.get("training_stage") == "finetune"]
+        if rows:
+            best_val_losses[i] = min(float(r["val_loss"]) for r in rows)
+    if np.isinf(best_val_losses).all():
+        return np.arange(n_models)
+    return best_val_losses.argsort()
 
 
 def main(args=None, argv=None):
-    print(f"{SFM.failure} compute_inv_depth: model layer lands in a later milestone.")
-    sys.exit(1)
+    default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
+    if args is None:
+        args = su.parse_inv_depth_args({"default_config_path": default_config_path}, argv)
+        args_prespecified = False
+    else:
+        args_prespecified = True
+
+    su.check_input_dir_structure(args.in_root)
+
+    try:
+        su.verify_output_dir(args.out_root)
+    except PermissionError as e:
+        print(f"{SFM.failure} {e}", flush=True)
+        sys.exit(1)
+
+    section_header("Loading Classifier")
+
+    with open(defs.model_training_path("invasion_depth_best_hp.json")) as fp:
+        best_hp = json.load(fp)
+    with open(defs.model_training_path("invasion_depth_training_values.json")) as fp:
+        training_values = json.load(fp)
+
+    cls_thresh = training_values["cls_thresh"]
+    resnet_inp_shape = tuple(training_values["resnet_inp_shape"])
+    n_models = training_values["n_models"]
+    last_resnet_layer = best_hp["last_resnet_layer"]
+
+    config_path = (
+        default_config_path
+        if args_prespecified or getattr(args, "config", None) is None
+        else args.config
+    )
+    try:
+        config = su.verify_config_file(config_path)
+    except FileNotFoundError as e:
+        print(f"{SFM.failure} {e}", flush=True)
+        sys.exit(1)
+    n_pred_models = config["n_pred_models"]
+    if n_pred_models > n_models:
+        print(
+            f"{SFM.failure} n_pred_models ({n_pred_models}) cannot exceed "
+            f"n_models ({n_models}).",
+            flush=True,
+        )
+        sys.exit(1)
+
+    ensemble_dir = Path(defs.model_training_path("best_ensemble"))
+    ranked = _rank_models_by_history(ensemble_dir, n_models)
+
+    model, template = build_resnet50_tl(
+        1, resnet_inp_shape, base_last_layer=last_resnet_layer
+    )
+    member_vars = []
+    for i in range(n_pred_models):
+        idx = int(ranked[i])
+        ckpt = ensemble_dir / f"best_finetune_weights_{idx}.msgpack"
+        if not ckpt.is_file():
+            print(
+                f"{SFM.failure} Ensemble checkpoint not found: {ckpt}\n"
+                f"{SFM.info} Train the ensemble with "
+                f"{SFM.highlight('python -m tmat_tpu.models.train_invasion')} "
+                "or place converted checkpoints in that directory.",
+                flush=True,
+            )
+            sys.exit(1)
+        print(f"Loading classifier {i}...", flush=True)
+        member_vars.append(load_params(ckpt, template))
+        print(f"... Classifier {i} loaded.", flush=True)
+
+    stacked = stack_ensemble_variables(member_vars)
+    ensemble_apply = make_ensemble_apply(model)
+
+    print("All classifiers loaded.", flush=True)
+    print(SFM.success, flush=True)
+    section_footer()
+
+    section_header("Making Predictions")
+
+    zstack_paths = su.resolve_image_paths(args.in_root)
+    if not zstack_paths:
+        print(f"{SFM.failure} No Z stacks found in {args.in_root}", flush=True)
+        sys.exit(1)
+
+    inv_id_col = "Z Slice ID"
+    inv_prob_col = "Invasion Probability"
+    inv_pred_col = "Invasion Prediction (0=no 1=yes)"
+    rows = []
+
+    for zstack_id, zstack_path in zstack_paths.items():
+        print(f"Processing {zstack_id}...", flush=True)
+        try:
+            img, _ = tio.load_image(zstack_path, args.time, args.channel)
+        except OSError as error:
+            print(f"{SFM.failure}{error}", flush=True)
+            sys.exit(1)
+        x = prep_inv_depth_imgs(np.asarray(img, np.float32), resnet_inp_shape[:-1])
+        # (k, Z, 1) member predictions -> mean over members
+        yhat_members = np.asarray(ensemble_apply(stacked, x))
+        yhatp = yhat_members.mean(axis=0).squeeze(-1)
+        for z in range(len(yhatp)):
+            inv_prob = round(float(yhatp[z]), 4)
+            rows.append(
+                {
+                    inv_id_col: f"{zstack_id}_z{z}",
+                    inv_prob_col: inv_prob,
+                    inv_pred_col: int(inv_prob > cls_thresh),
+                }
+            )
+
+    print("Saving results...", flush=True)
+    out_csv_path = os.path.join(args.out_root, "invasion_depth_predictions.csv")
+    out_csv_path = tio.get_unique_output_filepath(out_csv_path)
+    with open(out_csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=[inv_id_col, inv_prob_col, inv_pred_col])
+        writer.writeheader()
+        writer.writerows(rows)
+    print("... Results saved.", flush=True)
+    print(SFM.success, flush=True)
+    section_footer()
+
+
+if __name__ == "__main__":
+    main()
