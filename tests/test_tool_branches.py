@@ -1,0 +1,161 @@
+"""End-to-end tests for compute_branches (2-D UNet path and 3-D Sato path)."""
+
+import csv
+import json
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy import ndimage
+
+from tmat_tpu.core import defs
+from tmat_tpu.models.params_io import save_params
+from tmat_tpu.models.unet import build_unet_xception
+from tmat_tpu.tools import compute_branches
+
+
+PATCH = 32
+
+
+def _setup_unet(tmp_path):
+    """Tiny randomly-initialized patch segmentor + config."""
+    mt = tmp_path / "model_training"
+    cfg_dir = mt / "binary_segmentation" / "configs"
+    ckpt_dir = mt / "binary_segmentation" / "checkpoints"
+    cfg_dir.mkdir(parents=True)
+    ckpt_dir.mkdir(parents=True)
+    _, variables = build_unet_xception(
+        1, (PATCH, PATCH), channels=1, filter_counts=(8, 16)
+    )
+    save_params(ckpt_dir / "checkpoint_1.msgpack", variables)
+    (cfg_dir / "unet_patch_segmentor_1.json").write_text(
+        json.dumps(
+            {
+                "patch_size": PATCH,
+                "checkpoint_file": "checkpoint_1.msgpack",
+                "filter_counts": [8, 16],
+                "ds_ratio": 1.0,
+                "channels": 1,
+            }
+        )
+    )
+    return mt
+
+
+def _vessel_network_img(h=128, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(h, w).astype(np.float32) * 10
+    rr, cc = np.mgrid[0:h, 0:w]
+    ring = np.abs(np.sqrt((rr - 64.0) ** 2 + (cc - 64.0) ** 2) - 40) < 3
+    img[ring] += 180
+    img[64, 24:104] += 150
+    img = ndimage.gaussian_filter(img, 1.0)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_branches_2d_end_to_end(tmp_path, monkeypatch):
+    mt = _setup_unet(tmp_path)
+    monkeypatch.setattr(defs, "MODEL_TRAINING_DIR", mt)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    Image.fromarray(_vessel_network_img()).save(in_dir / "wellA.tif")
+
+    out_dir = tmp_path / "out"
+    compute_branches.main(
+        argv=[
+            str(in_dir),
+            str(out_dir),
+            "--image-width-microns",
+            "1000",
+            "-c",
+            str(defs.default_config_path("default_branching_computation.json")),
+        ]
+    )
+
+    csv_path = out_dir / "branching_analysis.csv"
+    # a randomly-initialized UNet may segment nothing -> "No branches found"
+    # is acceptable; but visualizations and config must exist
+    vis = out_dir / "visualizations" / "wellA"
+    assert (vis / "original_image.png").is_file()
+    assert (vis / "prediction.png").is_file()
+    assert (out_dir / "config.json").is_file()
+    if csv_path.is_file():
+        with open(csv_path, encoding="utf-16") as f:
+            rows = list(csv.reader(f))
+        assert rows[0][0] == "Image"
+
+
+def test_branches_3d_end_to_end(tmp_path, monkeypatch):
+    mt = _setup_unet(tmp_path)
+    monkeypatch.setattr(defs, "MODEL_TRAINING_DIR", mt)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # Z stack with a bright ring network
+    base = _vessel_network_img(96, 96)
+    stack = np.stack([(base * s).astype(np.uint8) for s in (0.6, 1.0, 0.8)])
+    frames = [Image.fromarray(s) for s in stack]
+    frames[0].save(in_dir / "stackA.tif", save_all=True, append_images=frames[1:])
+
+    out_dir = tmp_path / "out3d"
+    compute_branches.main(
+        argv=[
+            str(in_dir),
+            str(out_dir),
+            "--image-width-microns",
+            "800",
+            "--graph-thresh-1",
+            "2",
+            "--graph-thresh-2",
+            "5",
+            "-c",
+            str(defs.default_config_path("default_branching_computation.json")),
+        ]
+    )
+    vis = out_dir / "visualizations" / "stackA"
+    assert (vis / "original_image.png").is_file()
+    assert (vis / "vesselness_image.png").is_file()
+
+    csv_path = out_dir / "branching_analysis.csv"
+    assert csv_path.is_file(), "expected branches from the ring network"
+    with open(csv_path, encoding="utf-16") as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 2
+    assert int(rows[1][1]) >= 1  # total branches
+    assert float(rows[1][2]) > 0  # total length in microns
+
+
+def test_branches_sweep_configs(tmp_path, monkeypatch):
+    mt = _setup_unet(tmp_path)
+    monkeypatch.setattr(defs, "MODEL_TRAINING_DIR", mt)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = _vessel_network_img(96, 96)
+    stack = np.stack([base, base])
+    frames = [Image.fromarray(s) for s in stack]
+    frames[0].save(in_dir / "s.tif", save_all=True, append_images=frames[1:])
+
+    out_dir = tmp_path / "sweep"
+    compute_branches.main(
+        argv=[
+            str(in_dir),
+            str(out_dir),
+            "--image-width-microns",
+            "800",
+            "--graph-thresh-1",
+            "2",
+            "8",
+            "--graph-thresh-2",
+            "5",
+            "-c",
+            str(defs.default_config_path("default_branching_computation.json")),
+        ]
+    )
+    sweeps = list(out_dir.glob("branching_analysis_CONFIG_thresh1_*.csv"))
+    assert len(sweeps) == 2, [p.name for p in out_dir.iterdir()]

@@ -161,6 +161,46 @@ def unsharp_mask(
     return jnp.clip(result, 0.0, 1.0)
 
 
+def conv1d_axis(
+    img: jax.Array, kernel: Sequence[float], axis: int, mode: str = "nearest"
+) -> jax.Array:
+    """1-D correlation along an arbitrary axis."""
+    kernel = jnp.asarray(kernel, img.dtype)
+    x = jnp.moveaxis(img, axis, -1)
+    shape = x.shape
+    length = shape[-1]
+    r = (len(kernel) - 1) // 2
+    flat = x.reshape((-1, 1, length))
+    flat = jnp.pad(
+        flat, [(0, 0), (0, 0), (r, len(kernel) - 1 - r)], mode=_pad_mode(mode)
+    )
+    k = kernel.reshape(1, 1, -1)
+    dn = jax.lax.conv_dimension_numbers(flat.shape, k.shape, ("NCH", "OIH", "NCH"))
+    out = jax.lax.conv_general_dilated(flat, k, (1,), "VALID", dimension_numbers=dn)
+    return jnp.moveaxis(out.reshape(shape), -1, axis)
+
+
+def gaussian_nd(
+    img: jax.Array, sigma: float, mode: str = "nearest", truncate: float = 4.0
+) -> jax.Array:
+    """N-D Gaussian blur over ALL axes (skimage.filters.gaussian on an N-D
+    array, as unsharp_mask receives the full (Z, H, W) stack at
+    compute_branches.py:269)."""
+    if sigma <= 0:
+        return img
+    k = gaussian_kernel_1d(sigma, truncate)
+    out = img
+    for axis in range(img.ndim):
+        out = conv1d_axis(out, k, axis, mode)
+    return out
+
+
+def unsharp_mask_nd(img: jax.Array, radius: float, amount: float) -> jax.Array:
+    """skimage.filters.unsharp_mask over all axes of a [0, 1] float array."""
+    blurred = gaussian_nd(img, radius, mode="nearest")
+    return jnp.clip(img + amount * (img - blurred), 0.0, 1.0)
+
+
 def median3x3(img: jax.Array) -> jax.Array:
     """3x3 median filter via sorting networks over the 9 shifted taps."""
     pads = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)], mode="edge")

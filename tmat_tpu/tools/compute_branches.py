@@ -1,8 +1,508 @@
-"""Analyze microvessels in input directory of Z-stacks or Z-projections."""
+"""Analyze microvessels in input directory of Z-stacks or Z-projections.
+
+Detects and quantifies branch structures in 2-D images or Z-stacks:
+UNet (2-D) or multi-scale Sato vesselness (3-D) segmentation, discrete
+Morse graph extraction, and branch statistics. CLI surface, visualization
+outputs (original/vesselness/prediction/segmentation-mask/distance-
+transform/well-mask/barcode/Morse-tree PNGs) and the UTF-16 CSV contract
+match the reference scripts/compute_branches.py:1-606, including
+graph-threshold sweeps via the cartesian product of --graph-thresh-1/2.
+
+TPU-first: the 2-D path's tiled UNet runs as one fused XLA program
+(ops/tiled.py); the 3-D path's Sato scales are batched over the whole
+stack in one jit (ops/sato.py); the 10-iteration gradient-guided region
+expansion is shifted-compare updates on device. The Morse graph itself is
+the native C++ kernel + host forest analysis (topo/).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
 import sys
-from tmat_tpu.core.log import SFM
+from itertools import product
+from pathlib import Path
+from typing import Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from tmat_tpu.core import defs, io as tio
+from tmat_tpu.core.log import SFM, section_footer, section_header
+from tmat_tpu.models.unet import get_unet_patch_segmentor_from_cfg
+from tmat_tpu.ops import morphology as morph
+from tmat_tpu.ops.canny import canny
+from tmat_tpu.ops.filters import gaussian, unsharp_mask_nd
+from tmat_tpu.ops.rescale import rescale_intensity
+from tmat_tpu.ops.resize import resize, target_shape_for_ratio
+from tmat_tpu.ops.sato import sato
+from tmat_tpu.ops.wellmask import gen_superellipse_mask, generate_well_mask
+from tmat_tpu.topo import regionprops as rp
+from tmat_tpu.topo.morse import MorseGraph
+from tmat_tpu.topo.transforms import filter_branch_seg_mask
+from tmat_tpu.tools import args as su
+
+from networkx.exception import NetworkXPointlessConcept
+
+DEFAULT_CONFIG_NAME = "default_branching_computation.json"
+DOWNSAMPLE_WIDTH = 384
+
+
+def create_output_csv(output_file: Path) -> None:
+    """CSV header (compute_branches.py:56-71); UTF-16 like the reference."""
+    fields = [
+        "Image",
+        "Total # of branches",
+        "Total branch length (µm)",
+        "Average branch length (µm)",
+    ]
+    with open(output_file, "w", encoding="utf-16") as f:
+        writer = csv.writer(f, lineterminator="\n")
+        writer.writerow(fields)
+
+
+def save_vis(img, save_dir, filename) -> None:
+    img = np.asarray(rescale_intensity(jnp.asarray(img, jnp.float32), (0, 255)))
+    file = tio.get_unique_output_filepath(os.path.join(str(save_dir), filename))
+    tio.save_image(file, img.astype(np.uint8))
+
+
+def pixels_to_microns(num_pixels, im_width_px, im_width_microns):
+    return (im_width_microns / im_width_px) * num_pixels
+
+
+def microns_to_pixels(num_microns, im_width_px, im_width_microns):
+    return (im_width_px / im_width_microns) * num_microns
+
+
+def make_well_mask(img: np.ndarray, seed: int = 0):
+    """Well mask + shrunken inverted pruning mask (compute_branches.py:109-141)."""
+    well_mask = generate_well_mask(img, return_superellipse_params=True, seed=seed)
+    if isinstance(well_mask, tuple):
+        well_mask, t, d, s_a, s_b, c_x, c_y, n = well_mask
+        well_mask = well_mask > 0
+        d *= 0.9
+        shrunken = np.asarray(
+            gen_superellipse_mask(t, d, s_a, s_b, c_x, c_y, n, img.shape[:2])
+        )
+    else:
+        well_mask = well_mask > 0
+        shrunken = np.asarray(
+            morph.binary_erosion(jnp.asarray(well_mask), morph.disk(5))
+        )
+
+    coverage = well_mask.sum() / well_mask.size
+    if coverage < 0.4:
+        print(
+            f"{SFM.warning} Well mask coverage is too low ({coverage * 100:.2f}%) "
+            "so it will not be used for analysis."
+        )
+        well_mask = np.full(img.shape[:2], True)
+        shrunken = np.full(img.shape[:2], True)
+    return well_mask, shrunken
+
+
+def _region_expansion(mask: jnp.ndarray, vessels: jnp.ndarray, iters: int = 10):
+    """Gradient-guided region expansion (compute_branches.py:287-297).
+
+    Each iteration marks neighbors of mask pixels as expandable when they
+    sit on a non-decreasing intensity path (mask_hi) and not on a
+    decreasing one (mask_lo). Pure shifted-compare updates -> stays fused
+    on device.
+    """
+    sl = {-1: slice(1, None), 0: slice(None, None), 1: slice(None, -1)}
+    mask = mask.astype(bool)
+    for _ in range(iters):
+        mask_lo = jnp.zeros_like(mask)
+        mask_hi = jnp.zeros_like(mask)
+        for r, c in (p for p in product((-1, 0, 1), repeat=2) if p != (0, 0)):
+            src = (sl[r], sl[c])
+            dst = (sl[-r], sl[-c])
+            dst_lt_src = vessels[dst] < vessels[src]
+            mask_lo = mask_lo.at[dst].set(
+                jnp.where(mask[src] & dst_lt_src, True, mask_lo[dst])
+            )
+            mask_hi = mask_hi.at[dst].set(
+                jnp.where(mask[src] & ~dst_lt_src, True, mask_hi[dst])
+            )
+        mask = mask | ((vessels > 0.01) & mask_hi & ~mask_lo)
+    return mask
+
+
+def analyze_img(
+    img_id: str,
+    img_files: Union[str, list],
+    model,
+    output_dir: Path,
+    config: dict,
+    created_csv_files: set,
+    use_well_mask: bool = False,
+) -> None:
+    """Measure branches in an image and append results
+    (compute_branches.py:144-489)."""
+    image_width_microns = config.get("image_width_microns")
+    graph_thresh_1 = config.get("graph_thresh_1", 5)
+    graph_thresh_2 = config.get("graph_thresh_2", 10)
+    graph_smoothing_window = config.get("graph_smoothing_window", 12)
+    min_branch_length = config.get("min_branch_length", 12)
+    max_branch_length = config.get("max_branch_length")
+    remove_isolated_branches = config.get("remove_isolated_branches", False)
+    time_index = config.get("time")
+    channel_index = config.get("channel")
+
+    print("", flush=True)
+    print("=========================================", flush=True)
+    print(f"Analyzing {img_id}...", flush=True)
+    print("=========================================", flush=True)
+
+    img, pix_sizes = tio.load_image(img_files, time_index, channel_index)
+    n_dims = img.ndim
+
+    if image_width_microns is None:
+        if pix_sizes.X is None:
+            print(
+                f"\n{SFM.failure} The --image-width-microns parameter was not "
+                "specified, and the pixel to micron conversion factor was not "
+                "found in the image metadata.\n"
+                f"{SFM.info} {SFM.bold}Solution:{SFM.reset} Specify "
+                "--image-width-microns and try again. Exiting...\n"
+            )
+            sys.exit(1)
+        image_width_microns = img.shape[-1] * pix_sizes.X
+
+    vis_dir = output_dir / "visualizations" / img_id
+    vis_dir.mkdir(parents=True, exist_ok=True)
+
+    img_dsamp_res = tuple(
+        int(v)
+        for v in np.round(
+            np.multiply(img.shape[-2:], DOWNSAMPLE_WIDTH / img.shape[-1])
+        ).astype(int)
+    )
+
+    if n_dims == 3:
+        # --- Z stack: Sato vesselness + post-processing (device) ----------
+        original_image = img.max(0)
+        save_vis(original_image, vis_dir, "original_image.png")
+
+        if use_well_mask:
+            original_dsamp = np.asarray(
+                resize(jnp.asarray(original_image, jnp.float32), img_dsamp_res, "linear")
+            )
+            well_mask, shrunken = make_well_mask(original_dsamp)
+        else:
+            well_mask = np.full(img_dsamp_res, True)
+            shrunken = np.full(img_dsamp_res, True)
+        pruning_mask = np.logical_not(shrunken)
+
+        stack = jnp.asarray(img, jnp.float32)
+        stack = gaussian(stack, sigma=1.0, mode="nearest")
+        stack = resize(stack, img_dsamp_res, "linear")
+        stack = rescale_intensity(stack, out_range=(0, 1))
+
+        # pairwise max of consecutive slices, all scales in one jit
+        pairs = jnp.maximum(stack[:-1], stack[1:])
+        print("Processing slices...", flush=True)
+        img_vess = sato(pairs)
+
+        img_vess_sharp = unsharp_mask_nd(img_vess, 2.0, 2.0)
+        vessels = jnp.max(img_vess_sharp, axis=0)
+        edges = canny(vessels, sigma=0)
+
+        mask = morph.skeletonize(edges)
+        mask_np = np.asarray(mask)
+        eccentricity = rp.regionprops_image(mask_np, "eccentricity")
+        circ_diam = rp.regionprops_image(mask_np, "equivalent_diameter_area")
+        mask = jnp.asarray(np.where(eccentricity * circ_diam > 3.5, mask_np, 0)) > 0
+
+        for _ in range(3):  # edge blur iterations
+            vessels_blur = gaussian(vessels, 1.0, mode="nearest")
+            vessels = jnp.where(mask, vessels_blur, vessels)
+
+        mask = _region_expansion(mask, vessels, iters=10)
+        mask = mask & ~edges
+        vessels_mask = morph.binary_closing(mask, morph.disk(2))
+
+        vessels_mask = filter_branch_seg_mask(
+            np.asarray(vessels_mask).astype(np.uint8), None, False
+        )
+
+        vessels = jnp.where(
+            morph.binary_dilation(jnp.asarray(vessels_mask > 0), morph.square(3)),
+            jnp.max(img_vess_sharp, axis=0),
+            0.0,
+        )
+        analysis_img = np.asarray(gaussian(vessels, 1.0, mode="nearest"))
+        save_vis(analysis_img, vis_dir, "vesselness_image.png")
+    else:
+        # --- 2-D image: UNet patch segmentation (fused tiled inference) ---
+        target_shape = target_shape_for_ratio(img.shape[:2], model.ds_ratio)
+        img = np.asarray(
+            resize(jnp.asarray(img, jnp.float32), target_shape, "lanczos4")
+        )
+        original_image = img.copy()
+        save_vis(original_image, vis_dir, "original_image.png")
+        img = np.asarray(rescale_intensity(jnp.asarray(img), out_range=(0, 1)))
+
+        if use_well_mask:
+            well_mask, shrunken = make_well_mask(img)
+        else:
+            well_mask = np.full(img.shape[:2], True)
+            shrunken = np.full(img.shape[:2], True)
+        pruning_mask = np.logical_not(shrunken)
+
+        print("", flush=True)
+        print("Segmenting image...", flush=True)
+
+        pred = model.predict(img * well_mask, auto_resample=False)
+        save_vis(pred, vis_dir, "prediction.png")
+
+        seg_mask = pred > 0.5
+        seg_mask = filter_branch_seg_mask((seg_mask * well_mask).astype(np.uint8))
+        seg_mask = seg_mask.astype(float)
+
+        skel, dist = morph.medial_axis(jnp.asarray(seg_mask > 0), return_distance=True)
+        centerline_dt = morph.euclidean_distance_transform(
+            np.logical_not(np.asarray(skel))
+        )
+        dist = np.asarray(dist)
+        relative_dt = dist / np.maximum(dist + centerline_dt, 1e-12)
+        pred = pred * relative_dt
+
+        save_vis(seg_mask, vis_dir, "segmentation_mask.png")
+        save_vis(pred, vis_dir, "distance_transform.png")
+
+        analysis_img = np.asarray(
+            resize(jnp.asarray(pred, jnp.float32), img_dsamp_res, "linear")
+        )
+        pruning_mask = (
+            np.asarray(
+                resize(jnp.asarray(pruning_mask, jnp.float32), img_dsamp_res, "nearest")
+            )
+            > 0
+        )
+
+    if use_well_mask:
+        save_vis(np.asarray(well_mask) * 255, vis_dir, "well_mask.png")
+
+    # --- per-config graph sweeps (compute_branches.py:366-395) -------------
+    embed_graph_params = {
+        "thresh1": np.atleast_1d(graph_thresh_1).tolist(),
+        "thresh2": np.atleast_1d(graph_thresh_2).tolist(),
+    }
+    param_names, param_vals = zip(*embed_graph_params.items())
+    cfgs = [dict(zip(param_names, comb)) for comb in product(*param_vals)]
+    tuned = [k for k, v in embed_graph_params.items() if len(v) > 1]
+
+    param_str_fmts = {}
+    for k, v in embed_graph_params.items():
+        if all(isinstance(x, (int, float)) for x in v):
+            if all(isinstance(x, int) for x in v):
+                width = max(len(str(x)) for x in v)
+                param_str_fmts[k] = f"{{:0{width}d}}"
+            else:
+                width_left = max(str(float(x)).find(".") for x in v)
+                width_right = max(len(str(float(x)).split(".")[1]) for x in v)
+                param_str_fmts[k] = (
+                    f"{{:0{width_left + 1 + width_right}.{width_right}f}}"
+                )
+        else:
+            param_str_fmts[k] = "{}"
+
+    for cfg in cfgs:
+        tuned_str = "".join(
+            f"_{k}_{param_str_fmts[k].format(v)}" for k, v in cfg.items() if k in tuned
+        )
+        tuned_str = f"_CONFIG{tuned_str}" if tuned_str else ""
+
+        if n_dims == 2:
+            print("\nComputing graph and barcode...", flush=True)
+
+        width_px = analysis_img.shape[1]
+        min_branch_length_px = round(
+            microns_to_pixels(min_branch_length, width_px, image_width_microns)
+        )
+        max_branch_length_px = None
+        if max_branch_length is not None:
+            max_branch_length_px = round(
+                max(
+                    1,
+                    microns_to_pixels(max_branch_length, width_px, image_width_microns),
+                )
+            )
+        smoothing_window_px = round(
+            max(
+                1,
+                microns_to_pixels(
+                    graph_smoothing_window, width_px, image_width_microns
+                ),
+            )
+        )
+
+        try:
+            morse_graph = MorseGraph(
+                np.asarray(
+                    rescale_intensity(jnp.asarray(analysis_img), out_range=(0, 255))
+                ),
+                thresholds=(cfg["thresh1"], cfg["thresh2"]),
+                smoothing_window=smoothing_window_px,
+                min_branch_length=min_branch_length_px,
+                max_branch_length=max_branch_length_px,
+                remove_isolated_branches=remove_isolated_branches,
+                pruning_mask=pruning_mask,
+            )
+        except NetworkXPointlessConcept:
+            print(f"No branches found for {img_id}.", flush=True)
+            return
+
+        # Barcode + Morse tree visualizations (compute_branches.py:431-450)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        save_path = tio.get_unique_output_filepath(
+            str(vis_dir / f"barcode{tuned_str}.png")
+        )
+        plt.figure(figsize=(6, 6))
+        plt.margins(0)
+        ax = plt.gca()
+        scaling_factor = original_image.shape[1] / img_dsamp_res[1]
+        morse_graph.plot_colored_barcode(scaling_factor=scaling_factor, ax=ax)
+        plt.savefig(save_path, dpi=300, bbox_inches="tight", pad_inches=0)
+
+        save_path = tio.get_unique_output_filepath(
+            str(vis_dir / f"morse_tree{tuned_str}.png")
+        )
+        fig_width = 10
+        fig_height = fig_width * (original_image.shape[0] / original_image.shape[1])
+        plt.figure(figsize=(fig_width, fig_height))
+        plt.margins(0)
+        ax = plt.gca()
+        ax.imshow(
+            np.asarray(
+                rescale_intensity(jnp.asarray(original_image), out_range=(0, 255))
+            ),
+            cmap="gray",
+        )
+        morse_graph.plot_colored_tree(scaling_factor=scaling_factor, ax=ax)
+        plt.savefig(save_path, dpi=200, bbox_inches="tight", pad_inches=0)
+        plt.close("all")
+
+        print("\nComputing branch statistics...", flush=True)
+
+        total_branch_length = pixels_to_microns(
+            morse_graph.get_total_branch_length(), width_px, image_width_microns
+        )
+        avg_branch_length = pixels_to_microns(
+            morse_graph.get_average_branch_length(), width_px, image_width_microns
+        )
+        total_num_branches = len(morse_graph.barcode)
+
+        fields = [img_id, total_num_branches, total_branch_length, avg_branch_length]
+
+        output_file = output_dir / f"branching_analysis{tuned_str}.csv"
+        csv_num = 1
+        while output_file.is_file() and str(output_file) not in created_csv_files:
+            csv_num += 1
+            output_file = output_dir / f"branching_analysis{tuned_str}-{csv_num}.csv"
+        if str(output_file) not in created_csv_files:
+            create_output_csv(output_file)
+            created_csv_files.add(str(output_file))
+
+        with open(output_file, "a", encoding="utf-16") as f:
+            writer = csv.writer(f, lineterminator="\n")
+            writer.writerow(fields)
+
+        print(f"Results saved to {output_file}.", flush=True)
 
 
 def main(args=None, argv=None):
-    print(f"{SFM.failure} compute_branches: topology layer lands in a later milestone.")
-    sys.exit(1)
+    default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
+    arg_defaults = {"default_config_path": default_config_path}
+
+    if args is None:
+        args = su.parse_branching_args(arg_defaults, argv)
+        cfg_file = args.config
+        if not Path(cfg_file).is_file():
+            print(f"{SFM.failure} Config file {cfg_file} does not exist.", flush=True)
+            sys.exit(1)
+        with open(cfg_file, "r", encoding="utf8") as fp:
+            config = json.load(fp)
+    else:
+        config = {}
+
+    args_dict = vars(args)
+    for param in (
+        "image_width_microns",
+        "graph_thresh_1",
+        "graph_thresh_2",
+        "graph_smoothing_window",
+        "min_branch_length",
+        "max_branch_length",
+        "remove_isolated_branches",
+    ):
+        if param not in config or args_dict.get(param) is not None:
+            config[param] = args_dict.get(param)
+
+    model_cfg_path = args_dict.get("model_cfg_path") or config.get("model_cfg_path")
+    if not model_cfg_path:
+        cfg_dir = Path(defs.model_training_path("binary_segmentation")) / "configs"
+        last_exp = 0
+        for file in cfg_dir.glob("unet_patch_segmentor_*.json"):
+            try:
+                last_exp = max(last_exp, int(file.stem.split("_")[-1]))
+            except ValueError:
+                continue
+        model_cfg_path = str(cfg_dir / f"unet_patch_segmentor_{last_exp}.json")
+
+    if not Path(model_cfg_path).is_file():
+        print(
+            f"{SFM.failure}Model config file {model_cfg_path} does not exist.",
+            flush=True,
+        )
+        sys.exit(1)
+
+    su.check_input_dir_structure(args.in_root)
+    input_dir = Path(args.in_root)
+    try:
+        su.verify_output_dir(args.out_root)
+    except PermissionError as error:
+        print(f"{SFM.failure} {error}", flush=True)
+        sys.exit(1)
+
+    img_paths = su.resolve_image_paths(args.in_root)
+    if len(img_paths) == 0:
+        print(f"{SFM.failure}No images found in {input_dir}", flush=True)
+        sys.exit(1)
+
+    model = get_unet_patch_segmentor_from_cfg(model_cfg_path)
+
+    config["time"] = args.time
+    config["channel"] = args.channel
+    output_dir = Path(args.out_root)
+    created_csv_files = set()
+
+    section_header("Performing Analysis")
+    for img_id, img_files in img_paths.items():
+        analyze_img(
+            img_id,
+            img_files,
+            model,
+            output_dir,
+            config,
+            created_csv_files,
+            use_well_mask=args.detect_well,
+        )
+
+    cfg_path = tio.get_unique_output_filepath(output_dir / "config.json")
+    with open(cfg_path, "w", encoding="utf8") as f:
+        json.dump({k: v for k, v in config.items() if v is not None}, f, indent=4)
+
+    print(f"{SFM.success} Analysis complete.", flush=True)
+    section_footer()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Connected-component labeling and region statistics.
+
+Parity targets: skimage.measure.{label, regionprops, regionprops_table,
+perimeter} and skimage.morphology.remove_small_objects as used by
+transforms.py:170-303 and compute_branches.py:276-279. The perimeter
+estimator reproduces skimage's weighted border-pixel count exactly
+(weights 1 / sqrt(2) / (1+sqrt2)/2 from the 10-2-10 neighbor code
+convolution).
+
+Host-side by design: these are label-dependent reductions over small
+rasters feeding graph logic (see SURVEY §7 architecture cut); the dense
+inputs (masks, skeletons) are produced on device.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import numpy as np
+from scipy import ndimage
+
+
+def label(mask: np.ndarray, connectivity: int = 2):
+    """skimage.measure.label: connectivity 1 = cross, 2 = full 3x3."""
+    structure = ndimage.generate_binary_structure(2, connectivity)
+    labels, n = ndimage.label(np.asarray(mask) > 0, structure=structure)
+    return labels, n
+
+
+_PERIM_WEIGHTS = np.zeros(50)
+_PERIM_WEIGHTS[[5, 7, 15, 17, 25, 27]] = 1.0
+_PERIM_WEIGHTS[[21, 33]] = math.sqrt(2)
+_PERIM_WEIGHTS[[13, 23]] = (1 + math.sqrt(2)) / 2
+_PERIM_KERNEL = np.array([[10, 2, 10], [2, 1, 2], [10, 2, 10]])
+
+
+def perimeter(mask: np.ndarray) -> float:
+    """skimage.measure.perimeter (4-connectivity border, weighted counts)."""
+    image = (np.asarray(mask) > 0).astype(np.uint8)
+    strel = ndimage.generate_binary_structure(2, 1)
+    eroded = ndimage.binary_erosion(image, strel, border_value=0)
+    border = image - eroded.astype(np.uint8)
+    perimeter_image = ndimage.convolve(
+        border.astype(np.int32), _PERIM_KERNEL, mode="constant", cval=0
+    )
+    hist = np.bincount(perimeter_image[border > 0].ravel(), minlength=50)[:50]
+    return float(hist @ _PERIM_WEIGHTS)
+
+
+def _region_moments(rows: np.ndarray, cols: np.ndarray):
+    """Central second moments of pixel coordinates (+1/12 pixel inertia not
+    applied; skimage uses raw central moments for inertia_tensor)."""
+    r0, c0 = rows.mean(), cols.mean()
+    dr, dc = rows - r0, cols - c0
+    mu20 = np.mean(dr * dr)
+    mu02 = np.mean(dc * dc)
+    mu11 = np.mean(dr * dc)
+    return mu20, mu02, mu11
+
+
+def eccentricity_from_moments(mu20, mu02, mu11) -> float:
+    """skimage eccentricity via inertia tensor eigenvalues."""
+    t = mu20 + mu02
+    d = math.sqrt(max((mu20 - mu02) ** 2 + 4 * mu11**2, 0.0))
+    l1 = (t + d) / 2
+    l2 = (t - d) / 2
+    if l1 == 0:
+        return 0.0
+    return math.sqrt(max(1 - l2 / l1, 0.0))
+
+
+def region_properties(labels: np.ndarray, n_labels: int) -> Dict[str, np.ndarray]:
+    """Per-region area / perimeter / eccentricity / equivalent diameter.
+
+    Index i of each array corresponds to label i+1 (like regionprops order).
+    """
+    areas = np.bincount(labels.ravel(), minlength=n_labels + 1)[1:].astype(float)
+    perims = np.zeros(n_labels)
+    eccs = np.zeros(n_labels)
+    eq_diam = np.sqrt(4 * areas / np.pi)
+
+    objects = ndimage.find_objects(labels)
+    for i, sl in enumerate(objects):
+        if sl is None:
+            continue
+        sub = labels[sl] == (i + 1)
+        perims[i] = perimeter(sub)
+        rows, cols = np.nonzero(sub)
+        if len(rows) > 0:
+            eccs[i] = eccentricity_from_moments(*_region_moments(rows, cols))
+    return {
+        "area": areas,
+        "perimeter": perims,
+        "eccentricity": eccs,
+        "equivalent_diameter_area": eq_diam,
+    }
+
+
+def regionprops_image(mask: np.ndarray, prop: str) -> np.ndarray:
+    """Rasterize a per-region scalar property back onto the mask
+    (transforms.py:291-303)."""
+    labels, n = label(mask)
+    if n == 0:
+        return np.zeros(mask.shape, float)
+    props = region_properties(labels, n)[prop]
+    lut = np.concatenate(([0.0], props))
+    return lut[labels]
+
+
+def remove_small_objects(labels: np.ndarray, min_size: int) -> np.ndarray:
+    """Zero out labeled regions smaller than min_size (skimage semantics:
+    regions with size < min_size are removed)."""
+    out = labels.copy()
+    counts = np.bincount(labels.ravel())
+    too_small = counts < min_size
+    too_small[0] = False
+    out[too_small[labels]] = 0
+    return out

@@ -1,0 +1,155 @@
+"""Segmentation-mask post-processing and skeleton graphs.
+
+Parity target: fl_tissue_model_tools/transforms.py:170-361 —
+nx_graph_from_binary_skeleton (vectorized 4-direction shift-intersection
+edge extraction with sqrt(2) diagonal weights), filter_branch_seg_mask
+(median filter + drop circular / fork-free components), and
+remove_small_islands.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+import numpy.typing as npt
+
+from tmat_tpu.ops.morphology import disk, skeletonize
+from tmat_tpu.topo import regionprops as rp
+
+
+def median_filter_footprint(img: np.ndarray, footprint: np.ndarray) -> np.ndarray:
+    """Rank-median over an arbitrary footprint (skimage.filters.median,
+    mode='nearest'). Device kernel: taps are static shifted slices."""
+    fp = np.asarray(footprint) > 0
+    kh, kw = fp.shape
+    ry, rx = (kh - 1) // 2, (kw - 1) // 2
+    x = jnp.asarray(img)
+    pads = [(ry, kh - 1 - ry), (rx, kw - 1 - rx)]
+    padded = jnp.pad(x, pads, mode="edge")
+    h, w = x.shape
+    taps = [
+        padded[dy : dy + h, dx : dx + w]
+        for dy in range(kh)
+        for dx in range(kw)
+        if fp[dy, dx]
+    ]
+    return np.asarray(jnp.median(jnp.stack(taps), axis=0))
+
+
+def nx_graph_from_binary_skeleton(skeleton: npt.NDArray) -> nx.Graph:
+    """Weighted undirected graph of a binary skeleton
+    (transforms.py:209-288)."""
+    skeleton = np.asarray(skeleton).astype(bool)
+    g = nx.Graph()
+
+    node_pos = np.argwhere(skeleton)
+    g.graph["physical_pos"] = node_pos
+    if len(node_pos) == 0:
+        return g
+
+    node_labels = np.full(skeleton.shape, -1)
+    node_labels[node_pos[:, 0], node_pos[:, 1]] = np.arange(node_pos.shape[0])
+    edge_connected = np.zeros(skeleton.shape, dtype=bool)
+    weighted_edges = []
+
+    def shift_2d(arr, pad_vals):
+        padded = np.pad(arr, pad_vals)
+        pad_bottom, pad_right = pad_vals[0, 1], pad_vals[1, 1]
+        h, w = arr.shape
+        return padded[pad_bottom : h + pad_bottom, pad_right : w + pad_right]
+
+    for shift_rows, shift_cols in [(1, 0), (0, 1), (1, 1), (1, -1)]:
+        pad_top, pad_bottom = (shift_rows == 1), 0
+        pad_left, pad_right = (shift_cols == 1), (shift_cols == -1)
+        pad_vals = np.array([[pad_top, pad_bottom], [pad_left, pad_right]])
+        shifted = shift_2d(skeleton, pad_vals)
+
+        dest_nodes = skeleton * shifted
+        if not np.any(dest_nodes):
+            continue
+        src_nodes = shift_2d(dest_nodes, np.flip(pad_vals, axis=1))
+        edge_connected += src_nodes + dest_nodes
+
+        src_ids = node_labels[(node_labels > -1) & src_nodes]
+        dest_ids = node_labels[(node_labels > -1) & dest_nodes]
+        weight = np.linalg.norm((shift_rows, shift_cols))
+        weighted_edges.extend(zip(src_ids, dest_ids, np.full(src_ids.shape, weight)))
+
+    g.add_weighted_edges_from(weighted_edges)
+
+    isolated = skeleton * np.logical_not(edge_connected)
+    if np.any(isolated):
+        g.add_nodes_from(node_labels[(node_labels > -1) & isolated].tolist())
+    return g
+
+
+def filter_branch_seg_mask(
+    mask: npt.NDArray,
+    footprint: Optional[npt.NDArray] = "default",
+    remove_isolated: bool = True,
+) -> npt.NDArray:
+    """Drop components that are too circular or contain no forks
+    (transforms.py:306-361)."""
+    mask = np.asarray(mask)
+    if isinstance(footprint, str) and footprint == "default":
+        footprint = disk(2)
+    if footprint is not None:
+        mask = median_filter_footprint(mask, footprint).astype(mask.dtype)
+    else:
+        mask = mask.copy()
+
+    labeled, n_labels = rp.label(mask, connectivity=2)
+    if n_labels == 0:
+        return mask
+    props = rp.region_properties(labeled, n_labels)
+    circularities = (
+        4 * np.pi * props["area"] / (props["perimeter"] ** 2 + 1e-7)
+    )
+
+    seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
+    G = nx_graph_from_binary_skeleton(seg_skel)
+
+    fork_nodes = {n for n in G.nodes() if G.degree[n] > 2}
+    components = [*nx.connected_components(G)]
+
+    def node_cc_label(node):
+        coords = G.graph["physical_pos"][node]
+        return labeled[coords[0]][coords[1]]
+
+    for cc in components:
+        sample = next(iter(cc))
+        lbl = node_cc_label(sample)
+        if lbl == 0:
+            continue
+        circularity = circularities[lbl - 1]
+        if (remove_isolated and not cc.intersection(fork_nodes)) or circularity > 0.8:
+            mask[labeled == lbl] = 0
+
+    return mask
+
+
+def remove_small_islands(
+    mask: npt.NDArray,
+    min_area0: int = 100,
+    min_area1: int = 100,
+    connectivity0: int = 1,
+    connectivity1: int = 1,
+) -> npt.NDArray:
+    """Fill small holes then drop small islands (transforms.py:170-206)."""
+    mask = np.asarray(mask)
+    if mask.min() != 0 or mask.max() > 1:
+        raise ValueError("this function expects a binary mask of values 0 and 1")
+    mask = mask.copy()
+
+    inverse = 1 - mask
+    labeled_inv, _ = rp.label(inverse, connectivity=connectivity0)
+    labeled_inv = rp.remove_small_objects(labeled_inv, min_area0)
+    mask[labeled_inv == 0] = 1
+
+    labeled, _ = rp.label(mask, connectivity=connectivity1)
+    labeled = rp.remove_small_objects(labeled, min_area1)
+    mask[labeled == 0] = 0
+    return mask
