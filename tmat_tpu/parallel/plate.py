@@ -1,0 +1,84 @@
+"""Plate-scale sharded pipelines: wells as the data-parallel axis.
+
+Each entry point takes a whole plate of same-shape wells, shards the
+leading axis over the mesh, and runs ONE jitted program; XLA keeps every
+stage fused per device and no collectives are needed for these
+embarrassingly-parallel stages (the design target in SURVEY §5
+"distributed communication backend" and §7 step 8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tmat_tpu.ops.rescale import rescale_intensity
+from tmat_tpu.ops.threshold import exec_threshold
+from tmat_tpu.ops.tiled import _tiled_core
+from tmat_tpu.ops.zproj import _focus_stack_zhw
+
+
+def _data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def plate_zproj(mesh: Mesh, stacks: jax.Array, method: str = "max") -> jax.Array:
+    """Z-project a (B, Z, H, W) plate of stacks, wells sharded over devices."""
+    reducers = {
+        "max": lambda s: jnp.max(s, axis=1),
+        "min": lambda s: jnp.min(s, axis=1),
+        "avg": lambda s: jnp.mean(s, axis=1),
+        "med": lambda s: jnp.median(s, axis=1),
+        "fs": jax.vmap(_focus_stack_zhw),
+    }
+    fn = jax.jit(reducers[method], in_shardings=_data_sharding(mesh),
+                 out_shardings=_data_sharding(mesh))
+    return fn(jax.device_put(stacks, _data_sharding(mesh)))
+
+
+def plate_threshold(
+    mesh: Mesh, imgs: jax.Array, sd_coef: float, masks: Optional[jax.Array] = None
+) -> jax.Array:
+    """Rescale + GMM-threshold + binarize a (B, H, W) plate in one program."""
+
+    def one(img, mask):
+        scaled = rescale_intensity(img, out_range=(0, 1))
+        scaled = jnp.where(mask > 0, scaled, 0.0)
+        out = exec_threshold(scaled, mask, sd_coef)
+        return (out > 0).astype(jnp.uint8)
+
+    if masks is None:
+        masks = jnp.ones_like(imgs)
+    sharding = _data_sharding(mesh)
+    fn = jax.jit(
+        jax.vmap(one), in_shardings=(sharding, sharding), out_shardings=sharding
+    )
+    return fn(
+        jax.device_put(imgs, sharding), jax.device_put(masks, sharding)
+    )
+
+
+def plate_segment(
+    mesh: Mesh,
+    imgs: jax.Array,
+    pred_func: Callable,
+    window_size: int,
+    subdivisions: int = 2,
+) -> jax.Array:
+    """Tiled smooth-blend segmentation of a (B, H, W) plate of wells.
+
+    The full fused tiled pipeline (ops/tiled.py) is vmapped over wells and
+    the well axis is sharded across the mesh — a 96-well plate on a v5e-8
+    runs 12 wells per chip with zero host round-trips.
+    """
+    sharding = _data_sharding(mesh)
+
+    def one(img):
+        return _tiled_core(img, pred_func, window_size, subdivisions, 1)
+
+    fn = jax.jit(jax.vmap(one), in_shardings=sharding, out_shardings=sharding)
+    return fn(jax.device_put(imgs, sharding))
