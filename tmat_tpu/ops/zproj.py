@@ -55,10 +55,25 @@ def _focus_stack_zhw(stack: jax.Array, kernel_size: int = 5) -> jax.Array:
 def proj_focus_stacking(
     stack: jax.Array, axis: int = 0, kernel_size: int = 5
 ) -> jax.Array:
-    """Focus-stacking projection (zstacks.py:153-189)."""
+    """Focus-stacking projection (zstacks.py:153-189).
+
+    On TPU with the default kernel size, dispatches to the Pallas kernel
+    (ops/pallas_zproj.py): one HBM pass per slice with the blur/Laplacian/
+    argmax fused in VMEM. Falls back to the XLA path otherwise. The two
+    paths agree except at |Laplacian| near-ties (zero crossings), where the
+    winning slice is numerically arbitrary on any backend.
+    """
     stack = jnp.asarray(stack)
     if axis != 0:
         stack = jnp.moveaxis(stack, axis, 0)
+    if kernel_size == 5 and stack.ndim == 3:
+        try:
+            if jax.devices()[0].platform not in ("cpu",):
+                from tmat_tpu.ops.pallas_zproj import proj_focus_stacking_pallas
+
+                return proj_focus_stacking_pallas(stack)
+        except Exception:
+            pass  # fall back to the XLA path
     return _focus_stack_zhw(stack, kernel_size)
 
 
