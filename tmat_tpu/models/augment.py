@@ -50,6 +50,32 @@ def augment_invasion_imgs(
     return np.array(out)
 
 
+def get_augmentor(augmentations):
+    """Compose image/mask augmentations (preprocessing.py:186-200)."""
+
+    def augmentor(image, mask):
+        assert image.shape == mask.shape, "Image and mask must have the same shape."
+        for aug in augmentations:
+            transformed = aug(image=image, mask=mask)
+            image, mask = transformed["image"], transformed["mask"]
+        return image, mask
+
+    return augmentor
+
+
+def get_batch_augmentor(augmentations):
+    """Batch version of get_augmentor (preprocessing.py:203-223)."""
+    augmentor = get_augmentor(augmentations)
+
+    def batch_augmentor(images, masks):
+        assert images.shape == masks.shape, "Images and masks must have the same shape."
+        pairs = [augmentor(images[i], masks[i]) for i in range(images.shape[0])]
+        xs, ys = zip(*pairs)
+        return np.array(xs), np.array(ys)
+
+    return batch_augmentor
+
+
 def elastic_distortion(
     images: List[np.ndarray],
     grid_width: int = None,
