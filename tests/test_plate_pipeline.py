@@ -1,0 +1,85 @@
+"""End-to-end plate pipeline test on the 8-device virtual mesh."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy import ndimage
+
+from tmat_tpu.core import defs
+from tmat_tpu.models.params_io import save_params
+from tmat_tpu.models.unet import UNetXceptionPatchSegmentor, build_unet_xception
+from tmat_tpu.tools import plate_pipeline
+
+
+@pytest.fixture
+def tiny_segmentor(tmp_path):
+    patch = 32
+    _, variables = build_unet_xception(1, (patch, patch), channels=1,
+                                       filter_counts=(8, 16))
+    ckpt = tmp_path / "ckpt.msgpack"
+    save_params(ckpt, variables)
+    return UNetXceptionPatchSegmentor(patch, ckpt, (8, 16), ds_ratio=1.0)
+
+
+def _plate(n_wells=4, z=3, hw=96, rng=None):
+    rng = rng or np.random.RandomState(0)
+    plate = rng.rand(n_wells, z, hw, hw).astype(np.float32) * 10
+    rr, cc = np.mgrid[0:hw, 0:hw]
+    ring = np.abs(np.sqrt((rr - hw / 2) ** 2 + (cc - hw / 2) ** 2) - hw / 3) < 2
+    plate[:, 1][:, ring] += 200
+    return plate
+
+
+def test_run_plate_end_to_end(tiny_segmentor, rng):
+    plate = _plate(rng=rng)
+    ids = [f"W{i}" for i in range(4)]
+    results = plate_pipeline.run_plate(
+        plate, ids, tiny_segmentor, {"image_width_microns": 800.0}, sd_coef=-2.0
+    )
+    timer = results.pop("_timer")
+    assert results["well_id"] == ids
+    assert len(results["area_pct"]) == 4
+    # the bright ring is a real structure: area fraction should be > 0
+    for pct in results["area_pct"]:
+        assert 0 < pct < 100
+    assert "zproj" in timer.totals and "morse_graphs" in timer.totals
+
+
+def test_plate_cli(tmp_path, tiny_segmentor, monkeypatch, rng):
+    # write stacks + model cfg, then run the CLI main
+    mt = tmp_path / "model_training"
+    cfg_dir = mt / "binary_segmentation" / "configs"
+    ckpt_dir = mt / "binary_segmentation" / "checkpoints"
+    cfg_dir.mkdir(parents=True)
+    ckpt_dir.mkdir(parents=True)
+    _, variables = build_unet_xception(1, (32, 32), channels=1, filter_counts=(8, 16))
+    save_params(ckpt_dir / "checkpoint_1.msgpack", variables)
+    (cfg_dir / "unet_patch_segmentor_1.json").write_text(
+        json.dumps(
+            {
+                "patch_size": 32,
+                "checkpoint_file": "checkpoint_1.msgpack",
+                "filter_counts": [8, 16],
+                "ds_ratio": 1.0,
+                "channels": 1,
+            }
+        )
+    )
+    monkeypatch.setattr(defs, "MODEL_TRAINING_DIR", mt)
+
+    in_dir = tmp_path / "plate"
+    in_dir.mkdir()
+    plate = _plate(n_wells=2, rng=rng)
+    for i in range(2):
+        frames = [Image.fromarray(s.astype(np.uint8)) for s in plate[i]]
+        frames[0].save(
+            in_dir / f"well{i}.tif", save_all=True, append_images=frames[1:]
+        )
+
+    out_dir = tmp_path / "out"
+    plate_pipeline.main(
+        argv=[str(in_dir), str(out_dir), "--image-width-microns", "800"]
+    )
+    assert (out_dir / "plate_results.csv").is_file()

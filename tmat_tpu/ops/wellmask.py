@@ -226,7 +226,7 @@ def generate_well_mask(
         circ = (rows - center[0]) ** 2 + (cols - center[1]) ** 2 < radius**2
         return (circ * mask_val).astype(np.uint8)
 
-    from scipy.spatial import ConvexHull, QhullError  # type: ignore
+    from scipy.spatial import ConvexHull
 
     try:
         hull = ConvexHull(border_points)

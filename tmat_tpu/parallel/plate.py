@@ -9,8 +9,7 @@ embarrassingly-parallel stages (the design target in SURVEY §5
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

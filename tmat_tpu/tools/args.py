@@ -16,7 +16,7 @@ from glob import glob
 from pathlib import Path
 from typing import Any, Dict, List, Union
 
-from tmat_tpu.core import defs, io as tio, zdiscovery as zd
+from tmat_tpu.core import io as tio, zdiscovery as zd
 from tmat_tpu.core.log import SFM, section_footer, section_header
 
 

@@ -19,7 +19,6 @@ import csv
 import json
 import os
 import sys
-from glob import glob
 from pathlib import Path
 
 import numpy as np

@@ -18,7 +18,6 @@ import numpy as np
 
 from tmat_tpu.core import io as tio
 from tmat_tpu.core.log import SFM, END_SEPARATOR, section_header
-from tmat_tpu.core import zdiscovery as zd
 from tmat_tpu.ops.zproj import PROJ_METHODS
 from tmat_tpu.tools import args as su
 

@@ -1,0 +1,226 @@
+"""Plate-scale end-to-end pipeline: zproj -> cell area -> branches.
+
+The north-star workload (BASELINE.json): process a whole multi-well plate
+of Z stacks through Z-projection, GMM cell-coverage thresholding, tiled
+UNet segmentation, and Morse branch analysis.
+
+TPU-first staging:
+  1. zproj: the full (B, Z, H, W) plate is ONE sharded device reduction
+  2. cell area: rescale + batched GMM-EM threshold, one vmapped program
+  3. segmentation: fused tiled UNet (8x TTA), wells sharded over the mesh
+  4. morse graphs: host-side C++ kernel + forest analysis, overlapped with
+     device work via a thread pool (the ctypes call releases the GIL)
+
+Usage:
+    python -m tmat_tpu.tools.plate_pipeline IN_DIR OUT_DIR \
+        --image-width-microns 1200 [--model-cfg PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmat_tpu.core import defs, io as tio
+from tmat_tpu.core.log import SFM, section_footer, section_header
+from tmat_tpu.core.profiling import StageTimer
+from tmat_tpu.models.unet import get_unet_patch_segmentor_from_cfg
+from tmat_tpu.ops import morphology as morph
+from tmat_tpu.ops.rescale import rescale_intensity
+from tmat_tpu.ops.resize import resize
+from tmat_tpu.parallel.mesh import make_mesh, pad_to_multiple
+from tmat_tpu.parallel.plate import plate_segment, plate_threshold, plate_zproj
+from tmat_tpu.topo.morse import MorseGraph
+from tmat_tpu.topo.transforms import filter_branch_seg_mask
+
+from networkx.exception import NetworkXPointlessConcept
+
+DOWNSAMPLE_WIDTH = 384
+
+
+def _analyze_well_graph(pred384: np.ndarray, config: dict, width_px: int):
+    """Host Morse-graph stage for one well; returns (n, total_um, avg_um)."""
+    width_um = config["image_width_microns"]
+    to_px = lambda um: (width_px / width_um) * um
+    to_um = lambda px: (width_um / width_px) * px
+    try:
+        mg = MorseGraph(
+            np.asarray(
+                rescale_intensity(jnp.asarray(pred384), out_range=(0, 255))
+            ),
+            thresholds=(config.get("graph_thresh_1", 5), config.get("graph_thresh_2", 10)),
+            smoothing_window=round(max(1, to_px(config.get("graph_smoothing_window", 12)))),
+            min_branch_length=round(to_px(config.get("min_branch_length", 12))),
+            remove_isolated_branches=config.get("remove_isolated_branches", False),
+        )
+    except NetworkXPointlessConcept:
+        return 0, 0.0, 0.0
+    return (
+        len(mg.barcode),
+        to_um(mg.get_total_branch_length()),
+        to_um(mg.get_average_branch_length()),
+    )
+
+
+def run_plate(
+    stacks: np.ndarray,
+    well_ids: Sequence[str],
+    segmentor,
+    config: dict,
+    mesh=None,
+    sd_coef: float = 0.0,
+    timer: Optional[StageTimer] = None,
+) -> Dict[str, list]:
+    """Process a (B, Z, H, W) plate; returns per-well results dict."""
+    timer = timer or StageTimer()
+    mesh = mesh or make_mesh(axis_names=("data",))
+    n_dev = mesh.devices.size
+    n_wells = stacks.shape[0]
+
+    padded, n_valid = pad_to_multiple(stacks, n_dev)
+
+    with timer.stage("zproj"):
+        projections = plate_zproj(mesh, jnp.asarray(padded, jnp.float32), "max")
+        projections.block_until_ready()
+
+    with timer.stage("cell_area"):
+        thresholded = plate_threshold(mesh, projections, sd_coef)
+        areas = np.asarray(jnp.mean((thresholded > 0).astype(jnp.float32), axis=(1, 2)))
+
+    with timer.stage("segmentation"):
+        ds_ratio = segmentor.ds_ratio
+        target = tuple(
+            int(v) for v in np.round(np.multiply(projections.shape[1:], ds_ratio))
+        )
+        imgs_small = resize(projections, target, "lanczos")
+        imgs_small = jax.vmap(lambda im: rescale_intensity(im, (0, 1)))(imgs_small)
+        # chunk by mesh size: one well in flight per device keeps the
+        # ~(8 x grid^2)-patch TTA batch within HBM at production sizes
+        chunk = n_dev
+        pred_chunks = []
+        for start in range(0, imgs_small.shape[0], chunk):
+            piece = imgs_small[start : start + chunk]
+            pred_chunks.append(
+                plate_segment(mesh, piece, segmentor._pred_fn, segmentor.patch_size, 2)
+            )
+        preds = jnp.concatenate(pred_chunks, axis=0)
+        preds.block_until_ready()
+
+    with timer.stage("postprocess"):
+        dsamp = tuple(
+            int(v)
+            for v in np.round(
+                np.multiply(preds.shape[1:], DOWNSAMPLE_WIDTH / preds.shape[-1])
+            )
+        )
+        seg_masks = preds > 0.5
+        # centerline enhancement: skeleton + EDT relative distance
+        skels = jax.vmap(morph.skeletonize)(seg_masks)
+        preds_np = np.asarray(preds)
+        skels_np = np.asarray(skels)
+        enhanced = []
+        for i in range(preds_np.shape[0]):
+            mask_i = filter_branch_seg_mask(
+                (np.asarray(seg_masks[i])).astype(np.uint8)
+            )
+            dist = morph.euclidean_distance_transform(mask_i > 0)
+            cdt = morph.euclidean_distance_transform(~skels_np[i])
+            rel = dist / np.maximum(dist + cdt, 1e-12)
+            enhanced.append(preds_np[i] * rel)
+        enhanced = jnp.asarray(np.stack(enhanced))
+        preds384 = np.asarray(resize(enhanced, dsamp, "linear"))
+
+    with timer.stage("morse_graphs"):
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            graph_stats = list(
+                pool.map(
+                    lambda p: _analyze_well_graph(p, config, dsamp[1]),
+                    [preds384[i] for i in range(n_valid)],
+                )
+            )
+
+    results = {
+        "well_id": list(well_ids[:n_valid]),
+        "area_pct": [float(a) * 100 for a in areas[:n_valid]],
+        "total_branches": [g[0] for g in graph_stats],
+        "total_branch_length_um": [g[1] for g in graph_stats],
+        "avg_branch_length_um": [g[2] for g in graph_stats],
+    }
+    results["_timer"] = timer
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("in_root", type=str)
+    p.add_argument("out_root", type=str)
+    p.add_argument("--image-width-microns", type=float, required=True)
+    p.add_argument("--model-cfg", type=str, default=None)
+    p.add_argument("--sd-coef", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    from tmat_tpu.tools import args as su
+
+    su.check_input_dir_structure(args.in_root)
+    img_paths = su.resolve_image_paths(args.in_root)
+    su.verify_output_dir(args.out_root)
+
+    section_header("Loading plate")
+    well_ids = list(img_paths)
+    stacks = []
+    for wid in well_ids:
+        img, _ = tio.load_image(img_paths[wid])
+        if img.ndim == 2:
+            img = img[None]
+        stacks.append(img)
+    # bucket-and-pad Z and XY to the plate maximum (static shapes for XLA)
+    max_z = max(s.shape[0] for s in stacks)
+    max_h = max(s.shape[1] for s in stacks)
+    max_w = max(s.shape[2] for s in stacks)
+    plate = np.zeros((len(stacks), max_z, max_h, max_w), np.float32)
+    for i, s in enumerate(stacks):
+        plate[i, : s.shape[0], : s.shape[1], : s.shape[2]] = s
+
+    model_cfg = args.model_cfg
+    if not model_cfg:
+        from tmat_tpu.models.registry import get_last_exp_num
+
+        cfg_dir = Path(defs.model_training_path("binary_segmentation")) / "configs"
+        model_cfg = str(cfg_dir / f"unet_patch_segmentor_{get_last_exp_num()}.json")
+    segmentor = get_unet_patch_segmentor_from_cfg(model_cfg)
+
+    config = {"image_width_microns": args.image_width_microns}
+
+    section_header("Processing plate")
+    start = time.perf_counter()
+    results = run_plate(plate, well_ids, segmentor, config, sd_coef=args.sd_coef)
+    elapsed = time.perf_counter() - start
+    timer = results.pop("_timer")
+    print(timer.report(), flush=True)
+    print(
+        f"{SFM.success} {len(well_ids)} wells in {elapsed:.1f}s "
+        f"({len(well_ids) / elapsed:.2f} wells/sec)",
+        flush=True,
+    )
+
+    out_csv = Path(args.out_root) / "plate_results.csv"
+    with open(out_csv, "w", newline="") as f:
+        writer = csv.writer(f)
+        keys = list(results)
+        writer.writerow(keys)
+        for row in zip(*results.values()):
+            writer.writerow(row)
+    print(f"Results saved to {out_csv}", flush=True)
+    section_footer()
+
+
+if __name__ == "__main__":
+    main()
