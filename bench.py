@@ -74,8 +74,9 @@ def run_plate_workload(n_wells: int, dtype=None) -> float:
     rng = np.random.RandomState(0)
     config = {"image_width_microns": 1200.0}
 
-    # warmup/compile on a single-well plate of the same geometry
-    warm = _synthetic_plate(jax.device_count(), rng)
+    # warmup/compile on a plate of the SAME shape so the timed run hits
+    # fully-compiled programs
+    warm = _synthetic_plate(n_wells, rng)
     run_plate(warm, [f"warm{i}" for i in range(len(warm))], segmentor, config)
 
     plate = _synthetic_plate(n_wells, rng)

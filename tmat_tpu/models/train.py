@@ -144,6 +144,38 @@ def init_train_state(variables, tx) -> TrainState:
     return TrainState(params, batch_stats, tx.init(params), 0)
 
 
+def save_train_state(path, state: TrainState) -> None:
+    """Full resumable checkpoint: params + BN stats + optimizer state + step.
+
+    The reference only checkpoints best weights (ModelCheckpoint,
+    models.py:342-348); this adds true mid-run resume (SURVEY §5
+    checkpoint/resume gap)."""
+    save_params(
+        path,
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        },
+    )
+
+
+def load_train_state(path, template_state: TrainState) -> TrainState:
+    from tmat_tpu.models.params_io import load_params
+
+    template = {
+        "params": template_state.params,
+        "batch_stats": template_state.batch_stats,
+        "opt_state": template_state.opt_state,
+        "step": template_state.step,
+    }
+    loaded = load_params(path, template)
+    return TrainState(
+        loaded["params"], loaded["batch_stats"], loaded["opt_state"], loaded["step"]
+    )
+
+
 def make_unet_train_step(model, tx):
     """Jitted weighted-BCE training step for the UNet (updates BN stats)."""
 
