@@ -318,7 +318,10 @@ def fit(
         if verbose:
             print(f"epoch {epoch}: {epoch_metrics}", flush=True)
 
-        current = sign * epoch_metrics.get(monitor, np.inf)
+        raw = epoch_metrics.get(monitor)
+        # absent monitor (e.g. empty validation set) must rank WORST, not
+        # best: +inf after the sign convention regardless of mode
+        current = sign * raw if raw is not None else np.inf
         if current < result.best_metric - min_delta:
             result.best_metric = current
             result.best_epoch = epoch

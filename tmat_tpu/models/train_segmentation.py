@@ -88,8 +88,10 @@ def main(argv=None):
         augmentation_function=aug,
         sample_weights=(args.bg_weight, args.fg_weight),
     )
+    # validation batch can't exceed the split size (else zero batches and
+    # the monitored val metric silently disappears)
     val_seq = BinaryMaskSequence(
-        args.batch_size,
+        min(args.batch_size, max(len(val_pairs), 1)),
         [a for a, _ in val_pairs],
         [b for _, b in val_pairs],
         rs,
