@@ -46,7 +46,7 @@ def _make_segmentor(dtype):
 
 
 def _synthetic_plate(n_wells: int, rng) -> np.ndarray:
-    """Vessel-network-like plate so the Morse stage does real work."""
+    """Vessel-network-like plate (uint8, the native microscopy dtype)."""
     h = w = IMG_SIZE
     rr, cc = np.mgrid[0:h, 0:w]
     plate = rng.rand(n_wells, N_Z, h, w).astype(np.float32) * 10
@@ -57,7 +57,7 @@ def _synthetic_plate(n_wells: int, rng) -> np.ndarray:
         )
         plate[i, N_Z // 2][ring] += 180
         plate[i, N_Z // 2, h // 2 - 2 : h // 2 + 2, 100:-100] += 150
-    return plate
+    return np.clip(plate, 0, 255).astype(np.uint8)
 
 
 def run_plate_workload(n_wells: int, dtype=None) -> float:

@@ -52,11 +52,9 @@ def main(args=None, argv=None):
         except OSError as error:
             print(f"{SFM.failure}{error}", flush=True)
             sys.exit(1)
+        # med/avg of integer stacks produce floats; save_image keeps them as
+        # float TIFFs (mirroring the reference's cv2.imwrite behavior)
         zproj = np.asarray(proj_method(img))
-        if zproj.dtype != img.dtype and np.issubdtype(img.dtype, np.integer):
-            # med/avg of integer stacks produce floats; keep float TIFF like
-            # the reference's cv2.imwrite behavior
-            pass
         out_ext = Path(np.atleast_1d(zs_path)[0]).suffix.lower()
         if out_ext not in (".tif", ".tiff", ".png"):
             out_ext = ".tiff"

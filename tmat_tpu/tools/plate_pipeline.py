@@ -51,11 +51,12 @@ def _analyze_well_graph(pred384: np.ndarray, config: dict, width_px: int):
     width_um = config["image_width_microns"]
     to_px = lambda um: (width_px / width_um) * um
     to_um = lambda px: (width_um / width_px) * px
+    # numpy rescale: no device dispatch from pool threads for a 384px raster
+    lo, hi = float(pred384.min()), float(pred384.max())
+    scaled = (pred384 - lo) * (255.0 / max(hi - lo, 1e-38))
     try:
         mg = MorseGraph(
-            np.asarray(
-                rescale_intensity(jnp.asarray(pred384), out_range=(0, 255))
-            ),
+            scaled,
             thresholds=(config.get("graph_thresh_1", 5), config.get("graph_thresh_2", 10)),
             smoothing_window=round(max(1, to_px(config.get("graph_smoothing_window", 12)))),
             min_branch_length=round(to_px(config.get("min_branch_length", 12))),
@@ -88,7 +89,11 @@ def run_plate(
     padded, n_valid = pad_to_multiple(stacks, n_dev)
 
     with timer.stage("zproj"):
-        projections = plate_zproj(mesh, jnp.asarray(padded, jnp.float32), "max")
+        # transfer in the native integer dtype (4x less H2D than f32 for
+        # uint8 microscopy); the reduction upcasts on device
+        projections = plate_zproj(mesh, jnp.asarray(padded), "max").astype(
+            jnp.float32
+        )
         projections.block_until_ready()
 
     with timer.stage("cell_area"):

@@ -178,8 +178,8 @@ class MorseGraph:
             max_dist_to_leaf[leaf] = current_distance = 0
             branch_label[leaf] = leaf
             while current_parent != current_vertex:
-                current_distance += np.linalg.norm(
-                    verts[current_parent] - verts[current_vertex]
+                current_distance += self.__edge_len(
+                    verts, current_parent, current_vertex
                 )
                 if current_distance < max_dist_to_leaf[current_parent]:
                     break
@@ -365,6 +365,8 @@ class MorseGraph:
     @staticmethod
     def __get_forest(G, verts, remove_isolated_branches):
         """BFS spanning forest per component (topology.py:541-581)."""
+        from collections import deque
+
         forest = nx.Graph()
         parent = {n: None for n in G.nodes()}
         dist_to_root = {}
@@ -374,9 +376,9 @@ class MorseGraph:
                 continue
             parent[root] = root
             dist_to_root[root] = 0
-            unvisited = [root]
+            unvisited = deque([root])
             while unvisited:
-                v = unvisited.pop(0)
+                v = unvisited.popleft()
                 for n in g.neighbors(v):
                     if parent[n] is None:
                         forest.add_edge(v, n)
@@ -389,7 +391,11 @@ class MorseGraph:
 
     @staticmethod
     def __edge_len(verts, v1_idx, v2_idx):
-        return np.linalg.norm(verts[v1_idx] - verts[v2_idx])
+        # hot path (called per edge in BFS/labeling): plain hypot beats
+        # np.linalg.norm's ufunc machinery on 2-vectors by ~10x
+        a = verts[v1_idx]
+        b = verts[v2_idx]
+        return math.hypot(float(a[0]) - float(b[0]), float(a[1]) - float(b[1]))
 
     @staticmethod
     def __trim_graph(
