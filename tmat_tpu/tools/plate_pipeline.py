@@ -89,6 +89,9 @@ def run_plate(
     padded, n_valid = pad_to_multiple(stacks, n_dev)
 
     with timer.stage("zproj"):
+        # Z is zero-padded to the plate maximum, which is only neutral for
+        # the max projection (zeros never win); other methods would need a
+        # per-well Z mask
         # transfer in the native integer dtype (4x less H2D than f32 for
         # uint8 microscopy); the reduction upcasts on device
         projections = plate_zproj(mesh, jnp.asarray(padded), "max").astype(
