@@ -130,19 +130,29 @@ def run_plate(
             )
         )
         seg_masks = preds > 0.5
-        # centerline enhancement: skeleton + EDT relative distance
+        # device-batched: skeletons + the disk(2) median filter that
+        # filter_branch_seg_mask would otherwise run per well
         skels = jax.vmap(morph.skeletonize)(seg_masks)
+        from tmat_tpu.topo.transforms import median_filter_batch
+
+        filtered = median_filter_batch(seg_masks.astype(jnp.float32))
         preds_np = np.asarray(preds)
         skels_np = np.asarray(skels)
-        enhanced = []
-        for i in range(preds_np.shape[0]):
+        filtered_np = np.asarray(filtered)
+
+        def enhance(i):
+            # component filtering + EDTs are host work; scipy releases the
+            # GIL inside its C loops so a thread pool overlaps wells
             mask_i = filter_branch_seg_mask(
-                (np.asarray(seg_masks[i])).astype(np.uint8)
+                (filtered_np[i] > 0.5).astype(np.uint8), footprint=None
             )
             dist = morph.euclidean_distance_transform(mask_i > 0)
             cdt = morph.euclidean_distance_transform(~skels_np[i])
             rel = dist / np.maximum(dist + cdt, 1e-12)
-            enhanced.append(preds_np[i] * rel)
+            return preds_np[i] * rel
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            enhanced = list(pool.map(enhance, range(preds_np.shape[0])))
         enhanced = jnp.asarray(np.stack(enhanced))
         preds384 = np.asarray(resize(enhanced, dsamp, "linear"))
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import networkx as nx
 import numpy as np
@@ -37,6 +38,29 @@ def median_filter_footprint(img: np.ndarray, footprint: np.ndarray) -> np.ndarra
         if fp[dy, dx]
     ]
     return np.asarray(jnp.median(jnp.stack(taps), axis=0))
+
+
+@jax.jit
+def _median_filter_disk2_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """disk(2) median over a (B, H, W) batch in one device program."""
+    fp = disk(2) > 0
+    kh, kw = fp.shape
+    ry, rx = (kh - 1) // 2, (kw - 1) // 2
+    padded = jnp.pad(x, [(0, 0), (ry, kh - 1 - ry), (rx, kw - 1 - rx)], mode="edge")
+    h, w = x.shape[-2:]
+    taps = [
+        padded[:, dy : dy + h, dx : dx + w]
+        for dy in range(kh)
+        for dx in range(kw)
+        if fp[dy, dx]
+    ]
+    return jnp.median(jnp.stack(taps), axis=0)
+
+
+def median_filter_batch(x) -> jnp.ndarray:
+    """Batched disk(2) median (the filter_branch_seg_mask pre-step), for
+    plate pipelines that then call filter_branch_seg_mask(footprint=None)."""
+    return _median_filter_disk2_batch(jnp.asarray(x))
 
 
 def nx_graph_from_binary_skeleton(skeleton: npt.NDArray) -> nx.Graph:
