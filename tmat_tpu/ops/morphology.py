@@ -159,13 +159,15 @@ def medial_axis(
 
     Reference call sites: compute_branches.py:275 (skeleton of Canny edges)
     and :340 (skeleton + distance for centerline enhancement). Implemented
-    as Zhang-Suen thinning; the distance is the exact foreground EDT.
+    as Zhang-Suen thinning; the distance is the exact foreground EDT
+    computed on device (ops/distance.py).
     """
     skel = skeletonize(mask)
     if not return_distance:
         return skel
-    dist = jnp.asarray(euclidean_distance_transform(np.asarray(mask)))
-    return skel, dist
+    from tmat_tpu.ops.distance import edt
+
+    return skel, edt(jnp.asarray(mask))
 
 
 def gen_circ_mask(

@@ -262,12 +262,13 @@ def analyze_img(
         seg_mask = filter_branch_seg_mask((seg_mask * well_mask).astype(np.uint8))
         seg_mask = seg_mask.astype(float)
 
+        from tmat_tpu.ops.distance import edt
+
         skel, dist = morph.medial_axis(jnp.asarray(seg_mask > 0), return_distance=True)
-        centerline_dt = morph.euclidean_distance_transform(
-            np.logical_not(np.asarray(skel))
+        centerline_dt = edt(~skel)
+        relative_dt = np.asarray(
+            dist / jnp.maximum(dist + centerline_dt, 1e-12)
         )
-        dist = np.asarray(dist)
-        relative_dt = dist / np.maximum(dist + centerline_dt, 1e-12)
         pred = pred * relative_dt
 
         save_vis(seg_mask, vis_dir, "segmentation_mask.png")

@@ -133,28 +133,31 @@ def run_plate(
         # device-batched: skeletons + the disk(2) median filter that
         # filter_branch_seg_mask would otherwise run per well
         skels = jax.vmap(morph.skeletonize)(seg_masks)
+        from tmat_tpu.ops.distance import edt_batch
         from tmat_tpu.topo.transforms import median_filter_batch
 
         filtered = median_filter_batch(seg_masks.astype(jnp.float32))
-        preds_np = np.asarray(preds)
-        skels_np = np.asarray(skels)
         filtered_np = np.asarray(filtered)
 
-        def enhance(i):
-            # component filtering + EDTs are host work; scipy releases the
-            # GIL inside its C loops so a thread pool overlaps wells
-            mask_i = filter_branch_seg_mask(
-                (filtered_np[i] > 0.5).astype(np.uint8), footprint=None
-            )
-            dist = morph.euclidean_distance_transform(mask_i > 0)
-            cdt = morph.euclidean_distance_transform(~skels_np[i])
-            rel = dist / np.maximum(dist + cdt, 1e-12)
-            return preds_np[i] * rel
-
+        # component filtering needs labels/graphs -> host threads
         with ThreadPoolExecutor(max_workers=8) as pool:
-            enhanced = list(pool.map(enhance, range(preds_np.shape[0])))
-        enhanced = jnp.asarray(np.stack(enhanced))
-        preds384 = np.asarray(resize(enhanced, dsamp, "linear"))
+            masks = list(
+                pool.map(
+                    lambda i: filter_branch_seg_mask(
+                        (filtered_np[i] > 0.5).astype(np.uint8), footprint=None
+                    )
+                    > 0,
+                    range(filtered_np.shape[0]),
+                )
+            )
+        masks_dev = jnp.asarray(np.stack(masks))
+
+        # exact EDTs + relative-distance centerline enhancement + resize,
+        # all on device in one batched program (ops/distance.py)
+        dist = edt_batch(masks_dev)
+        cdt = edt_batch(~skels)
+        rel = dist / jnp.maximum(dist + cdt, 1e-12)
+        preds384 = np.asarray(resize(preds * rel, dsamp, "linear"))
 
     with timer.stage("morse_graphs"):
         with ThreadPoolExecutor(max_workers=8) as pool:
