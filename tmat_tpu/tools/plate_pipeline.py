@@ -130,13 +130,13 @@ def run_plate(
             )
         )
         seg_masks = preds > 0.5
-        # device-batched: skeletons + the disk(2) median filter that
-        # filter_branch_seg_mask would otherwise run per well
-        skels = jax.vmap(morph.skeletonize)(seg_masks)
+        # device-batched disk(2) median (filter_branch_seg_mask's pre-step)
+        # and the skeletons it needs for fork detection
         from tmat_tpu.ops.distance import edt_batch
         from tmat_tpu.topo.transforms import median_filter_batch
 
-        filtered = median_filter_batch(seg_masks.astype(jnp.float32))
+        filtered = median_filter_batch(seg_masks.astype(jnp.float32)) > 0.5
+        filter_skels = np.asarray(jax.vmap(morph.skeletonize)(filtered))
         filtered_np = np.asarray(filtered)
 
         # component filtering needs labels/graphs -> host threads
@@ -144,7 +144,9 @@ def run_plate(
             masks = list(
                 pool.map(
                     lambda i: filter_branch_seg_mask(
-                        (filtered_np[i] > 0.5).astype(np.uint8), footprint=None
+                        filtered_np[i].astype(np.uint8),
+                        footprint=None,
+                        precomputed_skeleton=filter_skels[i],
                     )
                     > 0,
                     range(filtered_np.shape[0]),
@@ -152,8 +154,11 @@ def run_plate(
             )
         masks_dev = jnp.asarray(np.stack(masks))
 
-        # exact EDTs + relative-distance centerline enhancement + resize,
-        # all on device in one batched program (ops/distance.py)
+        # centerline skeleton of the FILTERED masks (tool parity:
+        # compute_branches.py medial_axis runs on the filtered seg mask),
+        # then exact EDTs + relative-distance enhancement + resize — all
+        # device-batched (ops/distance.py)
+        skels = jax.vmap(morph.skeletonize)(masks_dev)
         dist = edt_batch(masks_dev)
         cdt = edt_batch(~skels)
         rel = dist / jnp.maximum(dist + cdt, 1e-12)

@@ -114,9 +114,15 @@ def filter_branch_seg_mask(
     mask: npt.NDArray,
     footprint: Optional[npt.NDArray] = "default",
     remove_isolated: bool = True,
+    precomputed_skeleton: Optional[npt.NDArray] = None,
 ) -> npt.NDArray:
     """Drop components that are too circular or contain no forks
-    (transforms.py:306-361)."""
+    (transforms.py:306-361).
+
+    ``precomputed_skeleton`` lets plate pipelines pass a device-batched
+    skeleton of the (already median-filtered) mask instead of this call
+    dispatching a per-well skeletonize.
+    """
     mask = np.asarray(mask)
     if isinstance(footprint, str) and footprint == "default":
         footprint = disk(2)
@@ -133,7 +139,10 @@ def filter_branch_seg_mask(
         4 * np.pi * props["area"] / (props["perimeter"] ** 2 + 1e-7)
     )
 
-    seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
+    if precomputed_skeleton is not None:
+        seg_skel = np.asarray(precomputed_skeleton)
+    else:
+        seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
     G = nx_graph_from_binary_skeleton(seg_skel)
 
     fork_nodes = {n for n in G.nodes() if G.degree[n] > 2}
