@@ -155,10 +155,12 @@ def run_plate(
         masks_dev = jnp.asarray(np.stack(masks))
 
         # centerline skeleton of the FILTERED masks (tool parity:
-        # compute_branches.py medial_axis runs on the filtered seg mask),
-        # then exact EDTs + relative-distance enhancement + resize — all
-        # device-batched (ops/distance.py)
-        skels = jax.vmap(morph.skeletonize)(masks_dev)
+        # compute_branches.py medial_axis runs on the filtered seg mask).
+        # Component filtering only removes whole 8-connected components and
+        # thinning is component-local, so the filtered skeleton is exactly
+        # the precomputed one restricted to surviving pixels — no second
+        # thinning pass needed.
+        skels = jnp.asarray(filter_skels) & masks_dev
         dist = edt_batch(masks_dev)
         cdt = edt_batch(~skels)
         rel = dist / jnp.maximum(dist + cdt, 1e-12)

@@ -126,6 +126,11 @@ def filter_branch_seg_mask(
     mask = np.asarray(mask)
     if isinstance(footprint, str) and footprint == "default":
         footprint = disk(2)
+    if precomputed_skeleton is not None and footprint is not None:
+        raise ValueError(
+            "precomputed_skeleton requires footprint=None: the skeleton must "
+            "correspond to the mask actually labeled (post-median)"
+        )
     if footprint is not None:
         mask = median_filter_footprint(mask, footprint).astype(mask.dtype)
     else:
