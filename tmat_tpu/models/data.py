@@ -198,6 +198,9 @@ class InvasionDataGenerator:
     def __iter__(self):
         for idx in range(len(self)):
             yield self[idx]
+        # Keras calls on_epoch_end after each pass (data_prep.py:209-213):
+        # reshuffle so the next epoch sees different batch composition
+        self.on_epoch_end()
 
     def shuffle_indices(self):
         self.rand_state.shuffle(self.indices)

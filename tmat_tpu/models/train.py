@@ -296,20 +296,23 @@ def fit(
     wait = 0
 
     for epoch in range(epochs):
+        # keep metrics as device arrays during the epoch — a float() per
+        # step would sync the host and stop dispatch from running ahead of
+        # the TPU; convert once at epoch end
         train_metrics = []
         for batch in train_batches():
             state, metrics = train_step(state, *batch)
-            train_metrics.append({k: float(v) for k, v in metrics.items()})
+            train_metrics.append(metrics)
+        train_metrics = jax.device_get(train_metrics)
         epoch_metrics = {
             k: float(np.mean([m[k] for m in train_metrics]))
             for k in (train_metrics[0] if train_metrics else {})
         }
         if val_batches is not None:
-            val_metrics = []
-            for batch in val_batches():
-                val_metrics.append(
-                    {k: float(v) for k, v in eval_step(state, *batch[:2]).items()}
-                )
+            val_metrics = [
+                eval_step(state, *batch[:2]) for batch in val_batches()
+            ]
+            val_metrics = jax.device_get(val_metrics)
             for k in val_metrics[0] if val_metrics else {}:
                 epoch_metrics[f"val_{k}"] = float(np.mean([m[k] for m in val_metrics]))
 

@@ -53,22 +53,11 @@ def canny(
     eps = 1e-12
     # Two regimes: |gc| >= |gr| (mostly horizontal gradient) and converse.
     w_c = jnp.where(abs_c >= abs_r, abs_r / (abs_c + eps), abs_c / (abs_r + eps))
-    sign_same = (gr * gc) >= 0
     sr = jnp.where(gr >= 0, 1, -1)
     sc = jnp.where(gc >= 0, 1, -1)
 
-    def interp(direction: int) -> jax.Array:
-        """Magnitude interpolated one unit along +/- gradient."""
-        s = direction
-        # axis-aligned neighbor and diagonal neighbor for each regime
-        n_c = _shift(mag, 0, s * sc)  # step along columns
-        n_r = _shift(mag, s * sr, 0)  # step along rows
-        n_d = _shift(mag, s * sr, s * sc)  # diagonal
-        horiz = n_c * (1 - w_c) + n_d * w_c  # |gc| dominant
-        vert = n_r * (1 - w_c) + n_d * w_c  # |gr| dominant
-        return jnp.where(abs_c >= abs_r, horiz, vert)
-
-    # _shift with traced signs isn't possible; expand the four sign cases.
+    # _shift needs static offsets, so expand the four gradient-sign cases
+    # and select per pixel.
     def interp_signed(direction):
         outs = []
         for srv in (1, -1):

@@ -284,7 +284,12 @@ def parse_branching_args(arg_defaults: Dict[str, Any], argv=None) -> argparse.Na
         default=arg_defaults["default_config_path"],
         help="Path to the branching configuration file.",
     )
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if not args.remove_isolated_branches:
+        # None => config file takes precedence (script_util.py:201-202);
+        # store_true's False would otherwise clobber a config-file true
+        args.remove_isolated_branches = None
+    return args
 
 
 def verify_config_file(config_path: str) -> Dict[str, Any]:

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tmat_tpu.core import defs, io as tio
+from tmat_tpu.core.config import load_tool_config, merge_cli_overrides
 from tmat_tpu.core.log import SFM, section_footer, section_header
 from tmat_tpu.models.unet import get_unet_patch_segmentor_from_cfg
 from tmat_tpu.ops import morphology as morph
@@ -425,27 +426,24 @@ def main(args=None, argv=None):
 
     if args is None:
         args = su.parse_branching_args(arg_defaults, argv)
-        cfg_file = args.config
-        if not Path(cfg_file).is_file():
-            print(f"{SFM.failure} Config file {cfg_file} does not exist.", flush=True)
-            sys.exit(1)
-        with open(cfg_file, "r", encoding="utf8") as fp:
-            config = json.load(fp)
+        config = load_tool_config(args.config, Path(default_config_path))
     else:
         config = {}
 
     args_dict = vars(args)
-    for param in (
-        "image_width_microns",
-        "graph_thresh_1",
-        "graph_thresh_2",
-        "graph_smoothing_window",
-        "min_branch_length",
-        "max_branch_length",
-        "remove_isolated_branches",
-    ):
-        if param not in config or args_dict.get(param) is not None:
-            config[param] = args_dict.get(param)
+    config = merge_cli_overrides(
+        config,
+        args_dict,
+        (
+            "image_width_microns",
+            "graph_thresh_1",
+            "graph_thresh_2",
+            "graph_smoothing_window",
+            "min_branch_length",
+            "max_branch_length",
+            "remove_isolated_branches",
+        ),
+    )
 
     model_cfg_path = args_dict.get("model_cfg_path") or config.get("model_cfg_path")
     if not model_cfg_path:

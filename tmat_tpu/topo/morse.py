@@ -22,8 +22,6 @@ from typing import Optional, Tuple
 import networkx as nx
 import numpy as np
 import numpy.typing as npt
-from networkx.exception import NetworkXPointlessConcept
-
 from tmat_tpu.topo.dmtgraph import compute_dmt_graph
 
 
@@ -33,11 +31,11 @@ def _cv2_hsv_to_bgr_unit(h: float, s: float, v: float) -> tuple:
     cv2's uint8 HSV uses H in [0, 180) (2-degree units), S/V in [0, 255].
     Reproduces topology.py:517-527's golden-ratio branch colors.
     """
-    h = float(h % 256) * 2.0  # uint8 wrap, then to degrees
+    h = float(h % 256) * 2.0  # uint8 wrap, then to degrees (can exceed 360)
     s_f = s / 255.0
     v_f = v / 255.0
     c = v_f * s_f
-    hp = h / 60.0
+    hp = (h / 60.0) % 6.0  # wrap hue like cv2 (H in (180, 255] -> >360 deg)
     x = c * (1 - abs(hp % 2 - 1))
     if hp < 1:
         r, g, b = c, x, 0
@@ -298,10 +296,9 @@ class MorseGraph:
         G = nx.Graph()
         for v0, v1 in E:
             G.add_edge(int(v0), int(v1))
-        if G.number_of_nodes() == 0:
-            raise NetworkXPointlessConcept(
-                "Connectivity is undefined for the null graph."
-            )
+        # An empty Morse graph flows through like the reference: the forest,
+        # branch list and barcode all come out empty and branch statistics
+        # report 0 (topology.py writes a 0-branch result, it does not raise).
         return G, V.astype(np.float32)
 
     @staticmethod
