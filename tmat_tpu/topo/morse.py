@@ -10,7 +10,8 @@ length), post-filtering of short branches, and colored tree/barcode plots.
 
 This is deliberately host-side graph code: the device produces the dense
 vesselness raster; the graph (thousands of vertices at the 384-px working
-width) is pure Python/NetworkX, matching the architecture cut in SURVEY §7.
+width) is pure Python over a lightweight insertion-ordered graph (lightgraph.py),
+matching the architecture cut in SURVEY §7.
 """
 
 from __future__ import annotations
@@ -19,10 +20,11 @@ import math
 from numbers import Number
 from typing import Optional, Tuple
 
-import networkx as nx
 import numpy as np
 import numpy.typing as npt
+
 from tmat_tpu.topo.dmtgraph import compute_dmt_graph
+from tmat_tpu.topo.lightgraph import LightGraph
 
 
 def _cv2_hsv_to_bgr_unit(h: float, s: float, v: float) -> tuple:
@@ -260,7 +262,7 @@ class MorseGraph:
         self._branches = filtered_branches
         self.barcode = filtered_barcode
         self._G.remove_edges_from(edges_to_remove)
-        self._G.remove_nodes_from(list(nx.isolates(self._G)))
+        self._G.remove_nodes_from(self._G.isolates())
 
     def __barcode_interval_lengths(self):
         if not self.barcode:
@@ -293,9 +295,7 @@ class MorseGraph:
     @staticmethod
     def __compute_nx_graph(im, threshold1=0.5, threshold2=0.0):
         V, E = compute_dmt_graph(im.astype(np.float32), threshold1, threshold2)
-        G = nx.Graph()
-        for v0, v1 in E:
-            G.add_edge(int(v0), int(v1))
+        G = LightGraph.from_edges(E)
         # An empty Morse graph flows through like the reference: the forest,
         # branch list and barcode all come out empty and branch statistics
         # report 0 (topology.py writes a 0-branch result, it does not raise).
@@ -364,19 +364,23 @@ class MorseGraph:
         """BFS spanning forest per component (topology.py:541-581)."""
         from collections import deque
 
-        forest = nx.Graph()
-        parent = {n: None for n in G.nodes()}
+        forest = LightGraph()
+        parent = {n: None for n in G.nodes}
         dist_to_root = {}
-        for g in [G.subgraph(c) for c in nx.connected_components(G)]:
-            root, max_degree = max(g.degree, key=lambda x: x[1])
-            if remove_isolated_branches and max_degree <= 2:
+        order_index = {n: i for i, n in enumerate(G.nodes)}
+        for comp in G.connected_components():
+            # root = first max-degree node in the graph's insertion order
+            # (nx max(g.degree) semantics over a subgraph view)
+            comp_sorted = sorted(comp, key=order_index.__getitem__)
+            root = max(comp_sorted, key=lambda n: G.degree[n])
+            if remove_isolated_branches and G.degree[root] <= 2:
                 continue
             parent[root] = root
             dist_to_root[root] = 0
             unvisited = deque([root])
             while unvisited:
                 v = unvisited.popleft()
-                for n in g.neighbors(v):
+                for n in G.neighbors(v):
                     if parent[n] is None:
                         forest.add_edge(v, n)
                         parent[n] = v
@@ -483,7 +487,7 @@ class MorseGraph:
             for segment in segments_to_remove:
                 G.remove_edges_from(set(G.edges(segment)))
                 G.remove_nodes_from(segment)
-            G.remove_nodes_from(list(nx.isolates(G)))
+            G.remove_nodes_from(G.isolates())
 
             pruning_complete = pass_num == 2 and not segments_to_remove
             pass_num = 2 if pass_num == 1 else 1
