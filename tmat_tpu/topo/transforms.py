@@ -148,25 +148,64 @@ def filter_branch_seg_mask(
         seg_skel = np.asarray(precomputed_skeleton)
     else:
         seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
-    G = nx_graph_from_binary_skeleton(seg_skel)
 
-    fork_nodes = {n for n in G.nodes() if G.degree[n] > 2}
-    components = [*nx.connected_components(G)]
-
-    def node_cc_label(node):
-        coords = G.graph["physical_pos"][node]
-        return labeled[coords[0]][coords[1]]
+    # Only degrees and connected components are needed here; build them
+    # directly from the skeleton raster (nx_graph_from_binary_skeleton
+    # remains the public weighted-graph API).
+    node_pos, degrees, components = _skeleton_components(seg_skel)
 
     for cc in components:
-        sample = next(iter(cc))
-        lbl = node_cc_label(sample)
+        sample = cc[0]
+        coords = node_pos[sample]
+        lbl = labeled[coords[0]][coords[1]]
         if lbl == 0:
             continue
         circularity = circularities[lbl - 1]
-        if (remove_isolated and not cc.intersection(fork_nodes)) or circularity > 0.8:
+        has_fork = any(degrees[n] > 2 for n in cc)
+        if (remove_isolated and not has_fork) or circularity > 0.8:
             mask[labeled == lbl] = 0
 
     return mask
+
+
+def _skeleton_components(skeleton: np.ndarray):
+    """(node positions, degree array, components) of a skeleton raster.
+
+    Matches nx_graph_from_binary_skeleton's node numbering (argwhere order)
+    and edge set (8-connectivity via 4 shift directions); the representative
+    node checked per component is any member, and component labels are
+    consistent because every node of a skeleton component lies in the same
+    labeled mask component.
+    """
+    from tmat_tpu.topo.lightgraph import LightGraph
+
+    skeleton = skeleton.astype(bool)
+    node_pos = np.argwhere(skeleton)
+    node_labels = np.full(skeleton.shape, -1)
+    node_labels[node_pos[:, 0], node_pos[:, 1]] = np.arange(node_pos.shape[0])
+
+    g = LightGraph()
+    n_nodes = node_pos.shape[0]
+    degrees = np.zeros(n_nodes, np.int32)
+    h, w = skeleton.shape
+    for dr, dc in [(1, 0), (0, 1), (1, 1), (1, -1)]:
+        src_r = slice(max(0, -dr), h - max(0, dr))
+        src_c = slice(max(0, -dc), w - max(0, dc))
+        dst_r = slice(max(0, dr), h + min(0, dr) or h)
+        dst_c = slice(max(0, dc), w + min(0, dc) or w)
+        pair = skeleton[src_r, src_c] & skeleton[dst_r, dst_c]
+        srcs = node_labels[src_r, src_c][pair]
+        dsts = node_labels[dst_r, dst_c][pair]
+        for u, v in zip(srcs.tolist(), dsts.tolist()):
+            g.add_edge(u, v)
+            degrees[u] += 1
+            degrees[v] += 1
+
+    components = list(g.connected_components())
+    # isolated skeleton pixels form their own 1-node components
+    in_graph = set(g.nodes)
+    components.extend([i] for i in range(n_nodes) if i not in in_graph)
+    return node_pos, degrees, components
 
 
 def remove_small_islands(
