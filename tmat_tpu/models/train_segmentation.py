@@ -26,9 +26,18 @@ from tmat_tpu.core.io import get_img_mask_paths
 from tmat_tpu.models import train as T
 from tmat_tpu.models.augment import get_elastic_dual_transform, random_flip_rotate_crop
 from tmat_tpu.models.data import BinaryMaskSequence, load_x, load_y
-from tmat_tpu.models.params_io import save_params
 from tmat_tpu.models.registry import save_unet_patch_segmentor_cfg
 from tmat_tpu.models.unet import build_unet_xception
+
+
+def load_x_rescaled(batch_img_paths):
+    """Images min-max rescaled to [0, 1] per image — the segmentor's
+    inference contract (compute_branches rescales inputs to [0, 1] before
+    predict, compute_branches.py:316)."""
+    batch = load_x(batch_img_paths).astype(np.float32)
+    lo = batch.min(axis=(1, 2), keepdims=True)
+    hi = batch.max(axis=(1, 2), keepdims=True)
+    return (batch - lo) / np.maximum(hi - lo, 1e-38)
 
 
 def make_augmentor(rs, patch_size, crop_size=None):
@@ -83,7 +92,7 @@ def main(argv=None):
         [a for a, _ in train_pairs],
         [b for _, b in train_pairs],
         rs,
-        load_x,
+        load_x_rescaled,
         load_y,
         augmentation_function=aug,
         sample_weights=(args.bg_weight, args.fg_weight),
@@ -95,7 +104,7 @@ def main(argv=None):
         [a for a, _ in val_pairs],
         [b for _, b in val_pairs],
         rs,
-        load_x,
+        load_x_rescaled,
         load_y,
         shuffle=False,
     )
