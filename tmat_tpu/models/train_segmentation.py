@@ -75,6 +75,7 @@ def main(argv=None):
     p.add_argument("--bg-weight", type=float, default=1.0)
     p.add_argument("--grid-search", action="store_true")
     p.add_argument("--patience", type=int, default=25)
+    p.add_argument("--bn-momentum", type=float, default=0.9)
     args = p.parse_args(argv)
 
     rs = np.random.RandomState(args.seed)
@@ -139,7 +140,11 @@ def main(argv=None):
         filters = tuple(args.filters)
 
     model, variables = build_unet_xception(
-        1, (args.patch_size, args.patch_size), channels=1, filter_counts=filters
+        1,
+        (args.patch_size, args.patch_size),
+        channels=1,
+        filter_counts=filters,
+        bn_momentum=args.bn_momentum,
     )
     tx = make_tx()
     state = T.init_train_state(variables, tx)

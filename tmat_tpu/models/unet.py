@@ -67,6 +67,9 @@ class UNetXception(nn.Module):
     filter_counts: Tuple[int, ...] = (32, 64, 128, 256)
     output_act: str = "sigmoid"
     dtype: jnp.dtype = jnp.float32
+    # Keras default 0.99; lower it for short training runs so eval-mode
+    # running statistics converge before early stopping
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -77,7 +80,7 @@ class UNetXception(nn.Module):
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
-            momentum=0.99,
+            momentum=self.bn_momentum,
             epsilon=1e-3,
             dtype=self.dtype,
         )
@@ -143,6 +146,7 @@ def build_unet_xception(
     output_act: str = "sigmoid",
     dtype: jnp.dtype = jnp.float32,
     seed: int = 0,
+    bn_momentum: float = 0.99,
 ):
     """Create the model and initialized variables (params + batch_stats)."""
     model = UNetXception(
@@ -150,6 +154,7 @@ def build_unet_xception(
         filter_counts=tuple(filter_counts),
         output_act=output_act,
         dtype=dtype,
+        bn_momentum=bn_momentum,
     )
     dummy = jnp.zeros((1, img_shape[0], img_shape[1], channels), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
