@@ -88,39 +88,46 @@ def run_plate(
 
     padded, n_valid = pad_to_multiple(stacks, n_dev)
 
-    with timer.stage("zproj"):
+    with timer.stage("device_pipeline"):
+        # Fully asynchronous per-chunk dispatch: every chunk's H2D transfer
+        # is issued up front (device_put is async) and the zproj ->
+        # threshold -> resize -> segment chain is queued without host
+        # barriers, so transfers of later chunks overlap earlier chunks'
+        # compute. One block at the end.
+        #
         # Z is zero-padded to the plate maximum, which is only neutral for
-        # the max projection (zeros never win); other methods would need a
-        # per-well Z mask
-        # transfer in the native integer dtype (4x less H2D than f32 for
-        # uint8 microscopy); the reduction upcasts on device
-        projections = plate_zproj(mesh, jnp.asarray(padded), "max").astype(
-            jnp.float32
-        )
-        projections.block_until_ready()
+        # the max projection (zeros never win); stacks transfer in their
+        # native integer dtype (4x less H2D than f32 for uint8 microscopy).
+        from tmat_tpu.parallel.plate import _data_sharding
 
-    with timer.stage("cell_area"):
-        thresholded = plate_threshold(mesh, projections, sd_coef)
-        areas = np.asarray(jnp.mean((thresholded > 0).astype(jnp.float32), axis=(1, 2)))
+        sharding = _data_sharding(mesh)
+        chunk = n_dev
+        dev_chunks = [
+            jax.device_put(padded[start : start + chunk], sharding)
+            for start in range(0, padded.shape[0], chunk)
+        ]
 
-    with timer.stage("segmentation"):
         ds_ratio = segmentor.ds_ratio
         target = tuple(
-            int(v) for v in np.round(np.multiply(projections.shape[1:], ds_ratio))
+            int(v) for v in np.round(np.multiply(padded.shape[2:], ds_ratio))
         )
-        imgs_small = resize(projections, target, "lanczos")
-        imgs_small = jax.vmap(lambda im: rescale_intensity(im, (0, 1)))(imgs_small)
-        # chunk by mesh size: one well in flight per device keeps the
-        # ~(8 x grid^2)-patch TTA batch within HBM at production sizes
-        chunk = n_dev
-        pred_chunks = []
-        for start in range(0, imgs_small.shape[0], chunk):
-            piece = imgs_small[start : start + chunk]
+
+        thresh_chunks, pred_chunks = [], []
+        for dc in dev_chunks:
+            proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
+            thresh_chunks.append(plate_threshold(mesh, proj, sd_coef))
+            small = resize(proj, target, "lanczos")
+            small = jax.vmap(lambda im: rescale_intensity(im, (0, 1)))(small)
             pred_chunks.append(
-                plate_segment(mesh, piece, segmentor._pred_fn, segmentor.patch_size, 2)
+                plate_segment(mesh, small, segmentor._pred_fn, segmentor.patch_size, 2)
             )
+
+        thresholded = jnp.concatenate(thresh_chunks, axis=0)
         preds = jnp.concatenate(pred_chunks, axis=0)
         preds.block_until_ready()
+        areas = np.asarray(
+            jnp.mean((thresholded > 0).astype(jnp.float32), axis=(1, 2))
+        )
 
     with timer.stage("postprocess"):
         dsamp = tuple(
