@@ -44,7 +44,7 @@ def test_run_plate_end_to_end(tiny_segmentor, rng):
     # the bright ring is a real structure: area fraction should be > 0
     for pct in results["area_pct"]:
         assert 0 < pct < 100
-    assert "zproj" in timer.totals and "morse_graphs" in timer.totals
+    assert "device_pipeline" in timer.totals and "morse_graphs" in timer.totals
 
 
 def test_plate_cli(tmp_path, tiny_segmentor, monkeypatch, rng):
