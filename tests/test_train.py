@@ -271,3 +271,17 @@ class TestAugment:
         xa, ya = aug(x, y)
         assert xa.shape == (2, 16, 16)
         assert set(np.unique(ya)) <= {0.0, 1.0}
+
+
+def test_weighted_bce_per_sample_weights_shape():
+    """(B,) class weights must align on the batch axis, not outer-product."""
+    import jax.numpy as jnp
+
+    probs = jnp.array([[0.9], [0.1]])
+    labels = jnp.array([[1.0], [0.0]])
+    w = jnp.array([2.0, 1.0])
+    loss = float(T.weighted_bce(probs, labels, w))
+    expected = (2.0 * -np.log(0.9) + 1.0 * -np.log(0.9)) / 3.0
+    assert abs(loss - expected) < 1e-6
+    # must stay bounded by the max clipped BCE regardless of batch size
+    assert loss < 17.0

@@ -51,9 +51,15 @@ def weighted_bce(probs, labels, sample_weights=None, eps=1e-7):
     probs = jnp.clip(probs, eps, 1 - eps)
     losses = -(labels * jnp.log(probs) + (1 - labels) * jnp.log(1 - probs))
     if sample_weights is not None:
-        return jnp.sum(losses * sample_weights) / jnp.maximum(
-            jnp.sum(sample_weights), eps
-        )
+        weights = jnp.asarray(sample_weights)
+        if weights.ndim and weights.ndim < losses.ndim:
+            # per-SAMPLE weights (B,) against per-element losses (B, ...):
+            # align on the batch axis (an outer-product broadcast here
+            # silently inflated the loss by the batch size)
+            weights = weights.reshape(
+                weights.shape + (1,) * (losses.ndim - weights.ndim)
+            )
+        return jnp.sum(losses * weights) / jnp.maximum(jnp.sum(weights), eps)
     return jnp.mean(losses)
 
 

@@ -44,6 +44,17 @@ def main(argv=None):
     p.add_argument("--img-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--last-layer", type=str, default=None)
+    p.add_argument(
+        "--single-stage",
+        action="store_true",
+        help=(
+            "Train all parameters in one stage. The reference's frozen->"
+            "fine-tune recipe assumes an ImageNet-pretrained base; with a "
+            "randomly initialized base (no pretrained weights bundled in "
+            "this environment) the frozen stage trains a head on random "
+            "features and wastes epochs."
+        ),
+    )
     args = p.parse_args(argv)
 
     with open(defs.model_training_path("invasion_depth_best_hp.json")) as fp:
@@ -110,8 +121,12 @@ def main(argv=None):
             fine_tune_lr=best_hp["fine_tune_lr"],
             beta_1=best_hp["adam_beta_1"],
             beta_2=best_hp["adam_beta_2"],
-            frozen_epochs=frozen_epochs,
-            fine_tune_epochs=fine_tune_epochs,
+            frozen_epochs=0 if args.single_stage else frozen_epochs,
+            fine_tune_epochs=(
+                frozen_epochs + fine_tune_epochs
+                if args.single_stage
+                else fine_tune_epochs
+            ),
             patience=tv["early_stopping_patience"],
             min_delta=tv["early_stopping_min_delta"],
             verbose=True,
