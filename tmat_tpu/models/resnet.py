@@ -125,7 +125,14 @@ class ResNet50TL(nn.Module):
     def __call__(self, x, train: bool = False):
         x = ResNet50Base(self.last_layer, self.dtype, name="base_model")(x)
         x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
-        x = nn.Dense(self.n_outputs, name="head")(x.astype(jnp.float32))
+        # zero-init head: with a randomly-initialized base (no bundled
+        # ImageNet weights) the GAP features are large and a random head
+        # saturates the sigmoid at init, zeroing clipped-BCE gradients;
+        # zero init starts at p=0.5 with healthy gradients. Loaded
+        # checkpoints overwrite this anyway.
+        x = nn.Dense(
+            self.n_outputs, name="head", kernel_init=nn.initializers.zeros
+        )(x.astype(jnp.float32))
         if self.output_act == "sigmoid":
             x = nn.sigmoid(x)
         elif self.output_act == "softmax":
