@@ -24,6 +24,8 @@ def test_dispatch_zproj(tmp_path, rng, monkeypatch):
     monkeypatch.setattr(defs, "BASE_DIR", tmp_path / "base")
     monkeypatch.setattr(defs, "SCRIPT_CONFIG_DIR", tmp_path / "base" / "config")
     monkeypatch.setattr(defs, "MODEL_TRAINING_DIR", tmp_path / "base" / "model_training")
+    # auto-configure must not write package.cfg into the source tree
+    monkeypatch.setattr(defs, "PKG_CFG_PATH", tmp_path / "package.cfg")
     in_dir = tmp_path / "in"
     in_dir.mkdir()
     for z in range(3):

@@ -439,6 +439,7 @@ class UNetXceptionGridSearch:
         channels: int = 1,
         output_act: str = "sigmoid",
         seed: int = 0,
+        bn_momentum: float = 0.99,
     ):
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
@@ -449,6 +450,7 @@ class UNetXceptionGridSearch:
         self.channels = channels
         self.output_act = output_act
         self.seed = seed
+        self.bn_momentum = bn_momentum
         self.best_score = np.nan
         self.best_filter_counts = None
         self.best_optimizer_idx = 0
@@ -481,6 +483,7 @@ class UNetXceptionGridSearch:
                 filter_counts=fc,
                 output_act=self.output_act,
                 seed=self.seed,
+                bn_momentum=self.bn_momentum,
             )
             tx = self.optimizer_factories[opt_idx]()
             state = init_train_state(variables, tx)

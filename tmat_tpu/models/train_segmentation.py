@@ -126,6 +126,7 @@ def main(argv=None):
             [make_tx],
             1,
             (args.patch_size, args.patch_size),
+            bn_momentum=args.bn_momentum,
         )
         best_fc, best = search.search(
             "val_mean_iou_coef" if val_pairs else "mean_iou_coef",

@@ -237,11 +237,11 @@ def get_unet_patch_segmentor_from_cfg(cfg_json: str) -> UNetXceptionPatchSegment
 
     checkpoint_file = cfg["checkpoint_file"]
     if not Path(checkpoint_file).is_absolute():
-        checkpoint_file = (
-            Path(defs.MODEL_TRAINING_DIR)
-            / "binary_segmentation"
-            / "checkpoints"
-            / checkpoint_file
+        # prefer the user base dir, fall back to the packaged tree (which
+        # ships a trained default checkpoint) — same resolution rule as the
+        # config files themselves
+        checkpoint_file = defs.model_training_path(
+            f"binary_segmentation/checkpoints/{checkpoint_file}"
         )
 
     return UNetXceptionPatchSegmentor(

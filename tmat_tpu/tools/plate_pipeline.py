@@ -41,8 +41,6 @@ from tmat_tpu.parallel.plate import plate_segment, plate_threshold, plate_zproj
 from tmat_tpu.topo.morse import MorseGraph
 from tmat_tpu.topo.transforms import filter_branch_seg_mask
 
-from networkx.exception import NetworkXPointlessConcept
-
 DOWNSAMPLE_WIDTH = 384
 
 
@@ -54,16 +52,13 @@ def _analyze_well_graph(pred384: np.ndarray, config: dict, width_px: int):
     # numpy rescale: no device dispatch from pool threads for a 384px raster
     lo, hi = float(pred384.min()), float(pred384.max())
     scaled = (pred384 - lo) * (255.0 / max(hi - lo, 1e-38))
-    try:
-        mg = MorseGraph(
-            scaled,
-            thresholds=(config.get("graph_thresh_1", 5), config.get("graph_thresh_2", 10)),
-            smoothing_window=round(max(1, to_px(config.get("graph_smoothing_window", 12)))),
-            min_branch_length=round(to_px(config.get("min_branch_length", 12))),
-            remove_isolated_branches=config.get("remove_isolated_branches", False),
-        )
-    except NetworkXPointlessConcept:
-        return 0, 0.0, 0.0
+    mg = MorseGraph(
+        scaled,
+        thresholds=(config.get("graph_thresh_1", 5), config.get("graph_thresh_2", 10)),
+        smoothing_window=round(max(1, to_px(config.get("graph_smoothing_window", 12)))),
+        min_branch_length=round(to_px(config.get("min_branch_length", 12))),
+        remove_isolated_branches=config.get("remove_isolated_branches", False),
+    )
     return (
         len(mg.barcode),
         to_um(mg.get_total_branch_length()),
@@ -102,18 +97,22 @@ def run_plate(
 
         sharding = _data_sharding(mesh)
         chunk = n_dev
-        dev_chunks = [
-            jax.device_put(padded[start : start + chunk], sharding)
-            for start in range(0, padded.shape[0], chunk)
-        ]
-
         ds_ratio = segmentor.ds_ratio
         target = tuple(
             int(v) for v in np.round(np.multiply(padded.shape[2:], ds_ratio))
         )
+        dev_chunks = [
+            jax.device_put(padded[start : start + chunk], sharding)
+            for start in range(0, padded.shape[0], chunk)
+        ]
+        del padded
 
         thresh_chunks, pred_chunks = [], []
-        for dc in dev_chunks:
+        while dev_chunks:
+            # consume the list so each raw-stack chunk's HBM buffer can be
+            # freed as soon as its projection is computed (the raw stacks
+            # are by far the largest device buffers)
+            dc = dev_chunks.pop(0)
             proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
             thresh_chunks.append(plate_threshold(mesh, proj, sd_coef))
             small = resize(proj, target, "lanczos")

@@ -33,12 +33,17 @@ class LightGraph:
         return g
 
     def add_edge(self, u: int, v: int) -> None:
+        if u == v:
+            # nx.Graph keeps self-loops (degree +2); none of the Morse
+            # pipelines can produce one, so fail loudly rather than let a
+            # silent isolate-deletion divergence slip in
+            raise ValueError(f"self-loop edges are not supported (node {u})")
         adj = self._adj
         if u not in adj:
             adj[u] = []
         if v not in adj:
             adj[v] = []
-        if v not in adj[u] and u != v:
+        if v not in adj[u]:
             adj[u].append(v)
             adj[v].append(u)
 
