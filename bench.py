@@ -27,7 +27,7 @@ os.environ.setdefault(
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-N_WELLS = 12
+N_WELLS = 6
 IMG_SIZE = 1024
 N_Z = 8
 DS_RATIO = 0.625
