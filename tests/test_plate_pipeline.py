@@ -83,3 +83,26 @@ def test_plate_cli(tmp_path, tiny_segmentor, monkeypatch, rng):
         argv=[str(in_dir), str(out_dir), "--image-width-microns", "800"]
     )
     assert (out_dir / "plate_results.csv").is_file()
+
+
+def test_run_plate_detect_well(tiny_segmentor, rng):
+    """-w parity: well mask bounds the area denominator and prunes edges."""
+    plate = _plate(n_wells=2, hw=96, rng=rng)
+    # bright circular well interior so the mask fits a real boundary
+    hw = 96
+    rr, cc = np.mgrid[0:hw, 0:hw]
+    inside = (rr - hw / 2) ** 2 + (cc - hw / 2) ** 2 <= (0.45 * hw) ** 2
+    plate[:, :, ~inside] = 5.0
+    plate[:, :, inside] += 60.0
+    results = plate_pipeline.run_plate(
+        plate,
+        ["W0", "W1"],
+        tiny_segmentor,
+        {"image_width_microns": 800.0},
+        sd_coef=-2.0,
+        detect_well=True,
+    )
+    results.pop("_timer")
+    assert len(results["area_pct"]) == 2
+    for pct in results["area_pct"]:
+        assert 0 <= pct <= 100

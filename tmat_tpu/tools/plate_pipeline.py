@@ -44,7 +44,9 @@ from tmat_tpu.topo.transforms import filter_branch_seg_mask
 DOWNSAMPLE_WIDTH = 384
 
 
-def _analyze_well_graph(pred384: np.ndarray, config: dict, width_px: int):
+def _analyze_well_graph(
+    pred384: np.ndarray, config: dict, width_px: int, pruning_mask=None
+):
     """Host Morse-graph stage for one well; returns (n, total_um, avg_um)."""
     width_um = config["image_width_microns"]
     to_px = lambda um: (width_px / width_um) * um
@@ -58,6 +60,7 @@ def _analyze_well_graph(pred384: np.ndarray, config: dict, width_px: int):
         smoothing_window=round(max(1, to_px(config.get("graph_smoothing_window", 12)))),
         min_branch_length=round(to_px(config.get("min_branch_length", 12))),
         remove_isolated_branches=config.get("remove_isolated_branches", False),
+        pruning_mask=pruning_mask,
     )
     return (
         len(mg.barcode),
@@ -74,8 +77,17 @@ def run_plate(
     mesh=None,
     sd_coef: float = 0.0,
     timer: Optional[StageTimer] = None,
+    detect_well: bool = False,
+    seed: int = 0,
 ) -> Dict[str, list]:
-    """Process a (B, Z, H, W) plate; returns per-well results dict."""
+    """Process a (B, Z, H, W) plate; returns per-well results dict.
+
+    With ``detect_well``, a well-boundary mask is fitted per well (the
+    tools' -w flag, compute_branches.py:109-141): the area denominator
+    becomes the well pixel count, segmentation input is masked, and a
+    shrunken inverted mask prunes spurious edge branches in the Morse
+    stage.
+    """
     timer = timer or StageTimer()
     mesh = mesh or make_mesh(axis_names=("data",))
     n_dev = mesh.devices.size
@@ -107,26 +119,73 @@ def run_plate(
         ]
         del padded
 
-        thresh_chunks, pred_chunks = [], []
+        well_masks_small = None
+        shrunken_masks = None
+        if detect_well:
+            # mask fitting needs projections on host, so compute them first
+            # (threads overlap the per-well hull + superellipse fits)
+            from tmat_tpu.tools.compute_branches import make_well_mask
+
+            proj_all = jnp.concatenate(
+                [
+                    plate_zproj(mesh, dc, "max").astype(jnp.float32)
+                    for dc in dev_chunks
+                ]
+            )
+            small_all = np.asarray(resize(proj_all, target, "lanczos"))
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                mask_pairs = list(
+                    pool.map(
+                        lambda i: make_well_mask(small_all[i], seed=seed),
+                        range(small_all.shape[0]),
+                    )
+                )
+            well_masks_small = jnp.asarray(np.stack([m for m, _ in mask_pairs]))
+            shrunken_masks = np.stack([s for _, s in mask_pairs])
+
+        thresh_chunks, pred_chunks, well_count_chunks = [], [], []
+        idx = 0
         while dev_chunks:
             # consume the list so each raw-stack chunk's HBM buffer can be
             # freed as soon as its projection is computed (the raw stacks
             # are by far the largest device buffers)
             dc = dev_chunks.pop(0)
             proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
-            thresh_chunks.append(plate_threshold(mesh, proj, sd_coef))
             small = resize(proj, target, "lanczos")
             small = jax.vmap(lambda im: rescale_intensity(im, (0, 1)))(small)
+            if detect_well:
+                wm_small = well_masks_small[idx : idx + dc.shape[0]]
+                wm_full = (
+                    resize(wm_small.astype(jnp.float32), proj.shape[1:], "nearest")
+                    > 0
+                )
+                thresh_chunks.append(
+                    plate_threshold(mesh, proj, sd_coef, wm_full.astype(jnp.float32))
+                )
+                well_count_chunks.append(
+                    jnp.sum(wm_full, axis=(1, 2)).astype(jnp.float32)
+                )
+                small = small * wm_small
+            else:
+                thresh_chunks.append(plate_threshold(mesh, proj, sd_coef))
             pred_chunks.append(
                 plate_segment(mesh, small, segmentor._pred_fn, segmentor.patch_size, 2)
             )
+            idx += dc.shape[0]
 
         thresholded = jnp.concatenate(thresh_chunks, axis=0)
         preds = jnp.concatenate(pred_chunks, axis=0)
         preds.block_until_ready()
-        areas = np.asarray(
-            jnp.mean((thresholded > 0).astype(jnp.float32), axis=(1, 2))
-        )
+        if detect_well:
+            well_counts = jnp.concatenate(well_count_chunks)
+            areas = np.asarray(
+                jnp.sum((thresholded > 0).astype(jnp.float32), axis=(1, 2))
+                / jnp.maximum(well_counts, 1.0)
+            )
+        else:
+            areas = np.asarray(
+                jnp.mean((thresholded > 0).astype(jnp.float32), axis=(1, 2))
+            )
 
     with timer.stage("postprocess"):
         dsamp = tuple(
@@ -173,11 +232,22 @@ def run_plate(
         preds384 = np.asarray(resize(preds * rel, dsamp, "linear"))
 
     with timer.stage("morse_graphs"):
+        pruning_masks = [None] * n_valid
+        if detect_well:
+            pruning = np.asarray(
+                resize(
+                    jnp.asarray(~shrunken_masks, jnp.float32), dsamp, "nearest"
+                )
+                > 0
+            )
+            pruning_masks = [pruning[i] for i in range(n_valid)]
         with ThreadPoolExecutor(max_workers=8) as pool:
             graph_stats = list(
                 pool.map(
-                    lambda p: _analyze_well_graph(p, config, dsamp[1]),
-                    [preds384[i] for i in range(n_valid)],
+                    lambda i: _analyze_well_graph(
+                        preds384[i], config, dsamp[1], pruning_masks[i]
+                    ),
+                    range(n_valid),
                 )
             )
 
@@ -199,6 +269,7 @@ def main(argv=None):
     p.add_argument("--image-width-microns", type=float, required=True)
     p.add_argument("--model-cfg", type=str, default=None)
     p.add_argument("--sd-coef", type=float, default=0.0)
+    p.add_argument("-w", "--detect-well", action="store_true")
     args = p.parse_args(argv)
 
     from tmat_tpu.tools import args as su
@@ -238,7 +309,14 @@ def main(argv=None):
 
     section_header("Processing plate")
     start = time.perf_counter()
-    results = run_plate(plate, well_ids, segmentor, config, sd_coef=args.sd_coef)
+    results = run_plate(
+        plate,
+        well_ids,
+        segmentor,
+        config,
+        sd_coef=args.sd_coef,
+        detect_well=args.detect_well,
+    )
     elapsed = time.perf_counter() - start
     timer = results.pop("_timer")
     print(timer.report(), flush=True)
