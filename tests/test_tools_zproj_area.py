@@ -98,3 +98,50 @@ def test_input_validation_mixed(tmp_path, capsys):
     (bad / "subdir").mkdir()
     with pytest.raises(SystemExit):
         su.check_input_dir_structure(str(bad))
+
+
+def test_cell_area_with_well_detection(tmp_path, rng):
+    """-w: area measured against the detected well region."""
+    in_dir = tmp_path / "wells"
+    in_dir.mkdir()
+    hw = 128
+    rr, cc = np.mgrid[0:hw, 0:hw]
+    inside = (rr - hw / 2) ** 2 + (cc - hw / 2) ** 2 <= (0.42 * hw) ** 2
+    img = rng.randint(5, 15, size=(hw, hw)).astype(np.uint8)
+    img[inside] += 60
+    img[50:70, 50:70] = 220  # "cells" patch inside the well
+    Image.fromarray(img).save(in_dir / "w1.tif")
+
+    out_dir = tmp_path / "wout"
+    compute_cell_area.main(argv=[str(in_dir), str(out_dir), "-w", "--sd-coef=-2"])
+    csv_path = out_dir / "calculations" / "cell_area.csv"
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    pct = float(rows[0]["area_pct"])
+    # denominator is the well (≈55% of the frame), not the full frame
+    expected = 20 * 20 / (np.pi * (0.42 * hw) ** 2) * 100
+    assert abs(pct - expected) < 3.0, pct
+    assert (out_dir / "thresholded" / "w1_well_mask.png").is_file()
+
+
+def test_zproj_channel_selection(tmp_path, rng):
+    """--channel reads the right plane of an ImageJ hyperstack."""
+    pages = []
+    for z in range(3):
+        for c in range(2):
+            val = 10 * (z + 1) if c == 0 else 100 + z
+            pages.append(np.full((16, 16), val, np.uint8))
+    frames = [Image.fromarray(p) for p in pages]
+    desc = "ImageJ=1.53\nimages=6\nchannels=2\nslices=3\nframes=1\n"
+    in_dir = tmp_path / "hs"
+    in_dir.mkdir()
+    frames[0].save(
+        in_dir / "stack.tif", save_all=True, append_images=frames[1:],
+        tiffinfo={270: desc},
+    )
+    out_dir = tmp_path / "hsout"
+    compute_zproj.main(
+        argv=[str(in_dir), str(out_dir), "-m", "max", "--channel", "1"]
+    )
+    out = np.asarray(Image.open(out_dir / "stack_max.tif"))
+    np.testing.assert_array_equal(out, np.full((16, 16), 102, np.uint8))
