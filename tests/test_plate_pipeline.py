@@ -32,6 +32,20 @@ def _plate(n_wells=4, z=3, hw=96, rng=None):
     return plate
 
 
+def test_analyze_well_graph_constant_raster_no_nan():
+    """Regression: a constant prediction raster must not seed NaN/inf into
+    the rescale (255/(hi-lo) overflowed float32 before the guard)."""
+    import warnings
+
+    cfg = {"image_width_microns": 800.0}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        n, total, avg = plate_pipeline._analyze_well_graph(
+            np.full((384, 384), 0.25, np.float32), cfg, 384
+        )
+    assert (n, total, avg) == (0, 0.0, 0.0)
+
+
 def test_run_plate_end_to_end(tiny_segmentor, rng):
     plate = _plate(rng=rng)
     ids = [f"W{i}" for i in range(4)]

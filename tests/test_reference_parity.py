@@ -1,0 +1,223 @@
+"""Golden parity tests that execute the REFERENCE's own code as the oracle.
+
+The reference modules under /root/reference/fl_tissue_model_tools are
+imported (tests only, never product code) with two minimal shims:
+  - numba: a pass-through ``njit`` (correctness-identical; numba only
+    accelerates the reference's loops)
+  - tqdm: identity iterator
+
+Covered claims (VERDICT round-1 item 3):
+  (a) the C++ ``compute_dmt_graph`` V/E arrays are bit-equal to the
+      reference dmtgraph.py:38-453 across random + synthetic-vessel
+      images and (delta1, delta2) grids;
+  (b) ``MorseGraph`` branch count / total / average lengths and barcode
+      equal the reference topology.py:15-271 outputs;
+  (c) the fused tiled blend matches the reference
+      ``predict_img_with_smooth_windowing`` (smooth_tiled_predictions.py:
+      220-267) within fp tolerance on grid-divisible sizes.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE_ROOT / "fl_tissue_model_tools").is_dir(),
+    reason="reference checkout not available",
+)
+
+
+def _install_shims():
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def njit(*args, **kwargs):
+            # supports both @njit and @njit(cache=True)
+            if len(args) == 1 and callable(args[0]) and not kwargs:
+                return args[0]
+            return lambda fn: fn
+
+        numba.njit = njit
+        sys.modules["numba"] = numba
+    if "tqdm" not in sys.modules:
+        tqdm_mod = types.ModuleType("tqdm")
+
+        class _Tqdm:
+            def __init__(self, it=None, **kwargs):
+                self._it = it
+
+            def __iter__(self):
+                return iter(self._it)
+
+            def refresh(self):
+                pass
+
+        tqdm_mod.tqdm = _Tqdm
+        sys.modules["tqdm"] = tqdm_mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Imported reference modules (dmtgraph, topology, smooth tiled)."""
+    _install_shims()
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        from fl_tissue_model_tools import dmtgraph as ref_dmt
+        from fl_tissue_model_tools import smooth_tiled_predictions as ref_stp
+        from fl_tissue_model_tools import topology as ref_topo
+    finally:
+        sys.path.remove(str(REFERENCE_ROOT))
+    return types.SimpleNamespace(dmt=ref_dmt, topo=ref_topo, stp=ref_stp)
+
+
+def _vessel_image(seed: int, size: int = 80) -> np.ndarray:
+    """Synthetic vessel raster rescaled to 0..255 float32, as the branches
+    tool feeds MorseGraph (compute_branches.py:418-426)."""
+    from tmat_tpu.models.synthetic import synth_vessel_image
+
+    img, _ = synth_vessel_image(np.random.RandomState(seed), size)
+    img = img.astype(np.float32)
+    rng = img.max() - img.min()
+    return (img - img.min()) / (rng if rng else 1.0) * 255.0
+
+
+# --------------------------------------------------------------------------
+# (a) dmtgraph bit-equality
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("deltas", [(1.0, 0.0), (5.0, 10.0)])
+def test_dmtgraph_bitequal_random(ref, seed, deltas):
+    from tmat_tpu.topo import dmtgraph as dg
+
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(40, 44) * 100).astype(np.float32)
+    img[img < 10] = 0  # exercise the zero-vertex filter
+    v_ref, e_ref = ref.dmt.compute_dmt_graph(img, *deltas)
+    v_our, e_our = dg.compute_dmt_graph(img, *deltas)
+    np.testing.assert_array_equal(np.asarray(v_our), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(e_our), np.asarray(e_ref))
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("deltas", [(2.0, 4.0), (5.0, 0.0), (0.5, 20.0)])
+def test_dmtgraph_bitequal_vessels(ref, seed, deltas):
+    from tmat_tpu.topo import dmtgraph as dg
+
+    img = _vessel_image(seed, size=64)
+    v_ref, e_ref = ref.dmt.compute_dmt_graph(img, *deltas)
+    v_our, e_our = dg.compute_dmt_graph(img, *deltas)
+    np.testing.assert_array_equal(np.asarray(v_our), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(e_our), np.asarray(e_ref))
+
+
+# --------------------------------------------------------------------------
+# (b) MorseGraph stats + barcode
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_morsegraph_stats_match_reference(ref, seed):
+    from tmat_tpu.topo.morse import MorseGraph
+
+    img = _vessel_image(seed, size=96)
+    kwargs = dict(
+        thresholds=(5, 10),
+        smoothing_window=12,
+        min_branch_length=12,
+        remove_isolated_branches=False,
+    )
+    g_ref = ref.topo.MorseGraph(img, **kwargs)
+    g_our = MorseGraph(img, **kwargs)
+
+    # distances accumulate in float32 in the reference (np.linalg.norm on
+    # float32 vertices) vs float64 here -> 1e-4-level noise on ~1e2 bars
+    bars_ref = sorted(map(tuple, np.asarray(g_ref.barcode, float)))
+    bars_our = sorted(map(tuple, np.asarray(g_our.barcode, float)))
+    assert len(bars_our) == len(bars_ref), "branch count mismatch"
+    np.testing.assert_allclose(bars_our, bars_ref, rtol=1e-5, atol=1e-3)
+
+    np.testing.assert_allclose(
+        g_our.get_total_branch_length(),
+        float(g_ref.get_total_branch_length()),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        g_our.get_average_branch_length(),
+        float(g_ref.get_average_branch_length()),
+        rtol=1e-5,
+    )
+
+
+def test_morsegraph_pruning_mask_matches_reference(ref):
+    from tmat_tpu.topo.morse import MorseGraph
+
+    img = _vessel_image(1, size=96)
+    yy, xx = np.mgrid[0:96, 0:96]
+    pruning_mask = ((yy - 48) ** 2 + (xx - 48) ** 2) > 40**2
+    kwargs = dict(
+        thresholds=(5, 10),
+        smoothing_window=12,
+        min_branch_length=12,
+        pruning_mask=pruning_mask,
+    )
+    g_ref = ref.topo.MorseGraph(img, **kwargs)
+    g_our = MorseGraph(img, **kwargs)
+    bars_ref = sorted(map(tuple, np.asarray(g_ref.barcode, float)))
+    bars_our = sorted(map(tuple, np.asarray(g_our.barcode, float)))
+    assert len(bars_our) == len(bars_ref)
+    np.testing.assert_allclose(bars_our, bars_ref, rtol=1e-5, atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# (c) tiled smooth-blend prediction
+# --------------------------------------------------------------------------
+
+
+def test_tiled_blend_matches_reference(ref):
+    """Fixed deterministic pred_func, grid-divisible size (the reference's
+    patch grid silently truncates otherwise — ops/tiled.py docstring)."""
+    from tmat_tpu.ops import tiled
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(64, 64).astype(np.float32)
+    window, subdiv = 32, 2
+
+    def ref_pred(batch, verbose=0):
+        # (B, w, w) -> (B, w, w, 1): scale by patch mean (spatially varying)
+        batch = np.asarray(batch, np.float64)
+        scale = batch.mean(axis=(1, 2), keepdims=True)
+        return (batch * scale)[..., None]
+
+    def our_pred(batch):
+        # (B, w, w, 1) -> (B, w, w, 1)
+        scale = batch.mean(axis=(1, 2, 3), keepdims=True)
+        return batch * scale
+
+    out_ref = np.asarray(
+        ref.stp.predict_img_with_smooth_windowing(img, window, subdiv, ref_pred)
+    )
+    if out_ref.ndim == 3:
+        out_ref = out_ref[..., 0]
+    out_our = np.asarray(
+        tiled.predict_img_with_smooth_windowing(img, window, subdiv, our_pred)
+    )
+    assert out_our.shape == out_ref.shape == img.shape
+    np.testing.assert_allclose(out_our, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_spline_window_matches_reference(ref):
+    from tmat_tpu.ops import tiled
+
+    for size in (32, 64, 320):
+        w_ref = np.asarray(ref.stp._window_2D(size)).squeeze()
+        w_our = np.asarray(tiled.window_2d(size)).squeeze()
+        # our window is computed in float32 (it multiplies bf16/f32
+        # predictions on device); 1e-7-level relative noise vs float64
+        np.testing.assert_allclose(w_our, w_ref, rtol=1e-6)

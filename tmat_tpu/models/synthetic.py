@@ -72,6 +72,90 @@ def synth_vessel_image(
     return img, (mask.astype(np.uint8) * 255)
 
 
+def synth_invasion_image(
+    rng: RandomState, size: int = 256, invaded: bool = False
+) -> np.ndarray:
+    """One grayscale uint8 Z-slice of a synthetic spheroid invasion assay.
+
+    The reference's invasion-depth classifier labels each Z slice of a
+    hydrogel well as invasion / no-invasion (capabilities_overview.ipynb
+    cells 15-16; class_labels in invasion_depth_training_values.json).
+    no_invasion: a compact bright spheroid with a smooth boundary, or a
+    dim out-of-focus slice below the invasion front. invasion: the same
+    spheroid plus radial strands and scattered single-cell blobs
+    migrating into the surrounding gel.
+    """
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    cy = size / 2 + rng.uniform(-size * 0.06, size * 0.06)
+    cx = size / 2 + rng.uniform(-size * 0.06, size * 0.06)
+    d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+
+    img = np.zeros((size, size), np.float32)
+    brightness = rng.uniform(120, 220)
+    r0 = rng.uniform(size * 0.10, size * 0.20)
+
+    dim_empty = (not invaded) and rng.rand() < 0.3
+    if dim_empty:
+        # slice below the spheroid: faint defocused ghost only
+        img += brightness * 0.15 * np.exp(-((d / (r0 * 1.5)) ** 2))
+    else:
+        edge = rng.uniform(1.5, 4.0)
+        img += brightness / (1 + np.exp(np.clip((d - r0) / edge, -60, 60)))
+
+    if invaded:
+        # scattered migrating cells in an annulus around the core
+        n_cells = rng.randint(25, 70)
+        for _ in range(n_cells):
+            ang = rng.uniform(0, 2 * np.pi)
+            rad = r0 * rng.uniform(1.15, 2.6)
+            by, bx = cy + rad * np.sin(ang), cx + rad * np.cos(ang)
+            if not (0 <= by < size and 0 <= bx < size):
+                continue
+            sig = rng.uniform(1.0, 3.0)
+            amp = brightness * rng.uniform(0.4, 0.9)
+            img += amp * np.exp(
+                -(((yy - by) ** 2 + (xx - bx) ** 2) / (2 * sig**2))
+            )
+        # radial strands (collective invasion fronts)
+        for _ in range(rng.randint(3, 9)):
+            ang = rng.uniform(0, 2 * np.pi)
+            steps = rng.randint(15, 40)
+            py, px = cy + r0 * 0.9 * np.sin(ang), cx + r0 * 0.9 * np.cos(ang)
+            for _s in range(steps):
+                ang += rng.normal(0, 0.18)
+                py += 2.0 * np.sin(ang)
+                px += 2.0 * np.cos(ang)
+                if not (0 <= py < size and 0 <= px < size):
+                    break
+                sig = rng.uniform(0.8, 1.6)
+                img += (
+                    brightness
+                    * rng.uniform(0.3, 0.6)
+                    * np.exp(-(((yy - py) ** 2 + (xx - px) ** 2) / (2 * sig**2)))
+                )
+
+    img = ndimage.gaussian_filter(img, rng.uniform(0.6, 1.4))
+    img += ndimage.gaussian_filter(rng.rand(size, size) * 30, 4)
+    img += rng.normal(0, 5, (size, size))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def generate_invasion_dataset(
+    out_dir, n_per_class: int = 300, size: int = 256, seed: int = 0
+) -> None:
+    """Write no_invasion/ + invasion/ class dirs for train_invasion."""
+    from PIL import Image
+
+    out_dir = Path(out_dir)
+    rng = RandomState(seed)
+    for name, invaded in (("no_invasion", False), ("invasion", True)):
+        cls_dir = out_dir / name
+        cls_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n_per_class):
+            img = synth_invasion_image(rng, size, invaded)
+            Image.fromarray(img).save(cls_dir / f"{name}_{i}.tif")
+
+
 def generate_dataset(out_dir, n: int = 200, size: int = 320, seed: int = 0) -> None:
     from PIL import Image
 
@@ -90,9 +174,22 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=200)
     p.add_argument("--size", type=int, default=320)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--kind",
+        choices=("vessels", "invasion"),
+        default="vessels",
+        help=(
+            "vessels: s{i}.tif/s{i}_mask.tif segmentation pairs; "
+            "invasion: no_invasion/ + invasion/ class dirs (--n per class)"
+        ),
+    )
     args = p.parse_args(argv)
-    generate_dataset(args.out_dir, args.n, args.size, args.seed)
-    print(f"Wrote {args.n} image/mask pairs to {args.out_dir}")
+    if args.kind == "invasion":
+        generate_invasion_dataset(args.out_dir, args.n, args.size, args.seed)
+        print(f"Wrote {args.n} images per class to {args.out_dir}")
+    else:
+        generate_dataset(args.out_dir, args.n, args.size, args.seed)
+        print(f"Wrote {args.n} image/mask pairs to {args.out_dir}")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--last-layer", type=str, default=None)
     p.add_argument(
+        "--ckpt-dtype",
+        choices=("float32", "float16"),
+        default="float16",
+        help=(
+            "Storage dtype for saved member checkpoints; float16 halves "
+            "artifact size and load_params casts back to float32."
+        ),
+    )
+    p.add_argument(
         "--single-stage",
         action="store_true",
         help=(
@@ -135,6 +144,7 @@ def main(argv=None):
         save_params(
             out_dir / f"best_finetune_weights_{member}.msgpack",
             {"params": state.params, "batch_stats": state.batch_stats},
+            dtype=np.dtype(args.ckpt_dtype),
         )
 
         # History CSV with the reference's schema (ranking contract)

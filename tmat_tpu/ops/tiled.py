@@ -23,6 +23,7 @@ pixel of the original image has exact subdivisions^2 coverage.
 from __future__ import annotations
 
 import math
+import weakref
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -147,8 +148,36 @@ def _tiled_core(
     return out
 
 
-# Cache of jitted pipelines keyed by (pred_func id, geometry)
-_JIT_CACHE: Dict[Tuple, Callable] = {}
+class PredFuncJitCache:
+    """Jitted-pipeline cache keyed on the pred_func OBJECT plus geometry.
+
+    The object is held weakly: an id()-keyed cache would be unsafe (ids
+    are reused after GC, so a dead predictor's compiled pipeline could be
+    served for a new one with the same geometry) and unbounded (entries
+    for dead predictors would never be evicted). Non-weakref-able
+    callables are not cached — jit itself still caches by trace signature
+    within the returned wrapper's lifetime.
+    """
+
+    def __init__(self):
+        self._by_func = weakref.WeakKeyDictionary()
+
+    def get_or_build(self, pred_func, key, build: Callable[[], Callable]):
+        try:
+            sub = self._by_func.get(pred_func)
+            if sub is None:
+                sub = {}
+                self._by_func[pred_func] = sub
+        except TypeError:
+            return build()
+        fn = sub.get(key)
+        if fn is None:
+            fn = build()
+            sub[key] = fn
+        return fn
+
+
+_JIT_CACHE = PredFuncJitCache()
 
 
 def predict_img_with_smooth_windowing(
@@ -161,11 +190,12 @@ def predict_img_with_smooth_windowing(
 ) -> jax.Array:
     """Smoothly-blended tiled prediction over a (H, W[, C]) image."""
     img = jnp.asarray(input_img, jnp.float32)
-    key = (id(pred_func), img.shape, window_size, subdivisions, out_channels)
-    fn = _JIT_CACHE.get(key)
-    if fn is None:
-        fn = jax.jit(
+    key = (img.shape, window_size, subdivisions, out_channels)
+    fn = _JIT_CACHE.get_or_build(
+        pred_func,
+        key,
+        lambda: jax.jit(
             lambda x: _tiled_core(x, pred_func, window_size, subdivisions, out_channels)
-        )
-        _JIT_CACHE[key] = fn
+        ),
+    )
     return fn(img)

@@ -17,6 +17,7 @@ jit; `proj_focus_stacking_batch` vmaps it across a plate of stacks.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 
 import jax
@@ -67,13 +68,21 @@ def proj_focus_stacking(
     if axis != 0:
         stack = jnp.moveaxis(stack, axis, 0)
     if kernel_size == 5 and stack.ndim == 3:
-        try:
-            if jax.devices()[0].platform not in ("cpu",):
-                from tmat_tpu.ops.pallas_zproj import proj_focus_stacking_pallas
+        if jax.devices()[0].platform not in ("cpu",):
+            from tmat_tpu.ops.pallas_zproj import proj_focus_stacking_pallas
 
+            try:
                 return proj_focus_stacking_pallas(stack)
-        except Exception:
-            pass  # fall back to the XLA path
+            except jax.errors.JaxRuntimeError as e:
+                # A Pallas lowering/compile failure on an unusual geometry
+                # is recoverable via the XLA path — but never silently:
+                # a kernel regression must leave a trace.
+                warnings.warn(
+                    f"Pallas focus-stacking kernel failed ({e!r}); "
+                    "falling back to the XLA lowering",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return _focus_stack_zhw(stack, kernel_size)
 
 

@@ -21,10 +21,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tmat_tpu.ops.rescale import rescale_intensity
 from tmat_tpu.ops.threshold import exec_threshold
-from tmat_tpu.ops.tiled import _tiled_core
+from tmat_tpu.ops.tiled import PredFuncJitCache, _tiled_core
 from tmat_tpu.ops.zproj import _focus_stack_zhw
 
 _JIT_CACHE: Dict[Tuple, Callable] = {}
+# pred_func-closing programs live in a weakref-keyed cache (see
+# PredFuncJitCache: id()-keyed entries can outlive their predictor)
+_SEGMENT_CACHE = PredFuncJitCache()
 
 
 def _data_sharding(mesh: Mesh) -> NamedSharding:
@@ -109,6 +112,6 @@ def plate_segment(
 
         return jax.jit(jax.vmap(one), in_shardings=sharding, out_shardings=sharding)
 
-    key = ("segment", mesh, id(pred_func), imgs.shape, window_size, subdivisions)
-    fn = _cached(key, build)
+    key = ("segment", mesh, imgs.shape, window_size, subdivisions)
+    fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
     return fn(jax.device_put(imgs, sharding))

@@ -53,7 +53,12 @@ def _analyze_well_graph(
     to_um = lambda px: (width_um / width_px) * px
     # numpy rescale: no device dispatch from pool threads for a 384px raster
     lo, hi = float(pred384.min()), float(pred384.max())
-    scaled = (pred384 - lo) * (255.0 / max(hi - lo, 1e-38))
+    if not np.isfinite(hi - lo) or hi - lo < 1e-12:
+        # constant (or non-finite) raster: a naive 255/(hi-lo) overflows
+        # float32 to inf and 0*inf seeds NaNs into the Morse stage;
+        # an empty well has zero branches by definition
+        return 0, 0.0, 0.0
+    scaled = (pred384 - lo) * np.float32(255.0 / (hi - lo))
     mg = MorseGraph(
         scaled,
         thresholds=(config.get("graph_thresh_1", 5), config.get("graph_thresh_2", 10)),

@@ -94,8 +94,25 @@ class LightGraph:
                 del adj[n]
 
     def copy(self) -> "LightGraph":
+        """Copy with nx.Graph.copy() adjacency semantics.
+
+        nx's copy rebuilds via add_edges_from over the adjacency scan, so
+        a node's neighbor order in the COPY follows each incident edge's
+        first occurrence in node-scan order — NOT the original adjacency
+        order (a neighbor that precedes the node in insertion order moves
+        to the front). MorseGraph's trim/forest walks are neighbor-order
+        dependent, so replicating this quirk is required for bit-equal
+        branch decompositions (verified by tests/test_reference_parity.py).
+        """
         g = LightGraph()
-        g._adj = {n: list(nbrs) for n, nbrs in self._adj.items()}
+        adj: Dict[int, List[int]] = {n: [] for n in self._adj}
+        for u, nbrs in self._adj.items():
+            for v in nbrs:
+                if v not in adj[u]:
+                    adj[u].append(v)
+                if u not in adj[v]:
+                    adj[v].append(u)
+        g._adj = adj
         return g
 
     def edges(self, nbunch: Iterable) -> List[tuple]:
