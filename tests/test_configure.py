@@ -1,0 +1,74 @@
+"""configure() create / relocate semantics (reference configure.py:33-137)."""
+
+import configparser
+
+import pytest
+
+from tmat_tpu import configure as cfg_mod
+from tmat_tpu.core import defs
+
+
+@pytest.fixture
+def isolated(tmp_path, monkeypatch):
+    """Point package.cfg and defaults into tmp so the source tree and the
+    user's real base dir are never touched."""
+    monkeypatch.setattr(defs, "PKG_CFG_PATH", tmp_path / "package.cfg")
+    monkeypatch.setattr(defs, "BASE_DIR", tmp_path / "default_base")
+    return tmp_path
+
+
+def _recorded(tmp_path):
+    parser = configparser.ConfigParser()
+    parser.read(tmp_path / "package.cfg")
+    return parser[defs.PKG_NAME]["base_dir"]
+
+
+def test_configure_creates_fresh_base(isolated):
+    target = isolated / "base_a"
+    out = cfg_mod.configure(str(target))
+    assert out == target
+    assert (target / "config").is_dir()
+    assert (target / "model_training").is_dir()
+    assert (target / "output").is_dir()
+    assert _recorded(isolated).endswith(str(target.name))
+
+
+def test_reconfigure_moves_existing_base(isolated):
+    """A recorded base dir RELOCATES to the new target with its user
+    artifacts (reference configure.py:49-56 move branch)."""
+    old = cfg_mod.configure(str(isolated / "base_a"))
+    marker = old / "model_training" / "user_artifact.txt"
+    marker.write_text("keep me")
+
+    new = cfg_mod.configure(str(isolated / "base_b"))
+    assert not old.exists(), "old base dir should have been moved"
+    assert (new / "model_training" / "user_artifact.txt").read_text() == "keep me"
+    assert _recorded(isolated).endswith("base_b")
+
+
+def test_reconfigure_existing_target_writes_in_place(isolated):
+    old = cfg_mod.configure(str(isolated / "base_a"))
+    new_target = isolated / "base_b"
+    new_target.mkdir()
+    cfg_mod.configure(str(new_target))
+    # target existed -> no move; old dir left intact
+    assert old.exists()
+    assert (new_target / "config").is_dir()
+
+
+def test_unrecorded_env_dir_is_never_moved(isolated, monkeypatch):
+    """An env-pointed BASE_DIR that configure never recorded must not be
+    relocated (it could be a source checkout)."""
+    env_dir = isolated / "precious_checkout"
+    env_dir.mkdir()
+    (env_dir / "important.py").write_text("x = 1")
+    monkeypatch.setattr(defs, "BASE_DIR", env_dir)
+
+    cfg_mod.configure(str(isolated / "base_new"))
+    assert env_dir.exists()
+    assert (env_dir / "important.py").is_file()
+
+
+def test_missing_parent_exits(isolated):
+    with pytest.raises(SystemExit):
+        cfg_mod.configure(str(isolated / "no" / "such" / "parent" / "base"))

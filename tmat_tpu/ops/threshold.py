@@ -30,17 +30,30 @@ from tmat_tpu.core.defs import MAX_UINT8
 _REG_COVAR = 1e-6  # sklearn GaussianMixture default regularisation
 
 
+_EM_TOL = 1e-3  # sklearn GaussianMixture default convergence tolerance
+_EM_MAX_ITER = 100  # sklearn default max_iter
+
+
 @partial(jax.jit, static_argnames=("n_iter",))
 def gmm2_fit(
-    pixels: jax.Array, weights: Optional[jax.Array] = None, n_iter: int = 60
+    pixels: jax.Array, weights: Optional[jax.Array] = None, n_iter: int = _EM_MAX_ITER
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Fit a 1-D 2-component GMM with weighted EM.
+    """Fit a 1-D 2-component GMM with weighted EM, sklearn-compatible.
+
+    Replicates sklearn GaussianMixture's ALGORITHM (not its RNG): a
+    k-means hard partition init (Lloyd iterations are deterministic and
+    init-independent on 1-D data) followed by EM that early-stops when
+    the mean per-sample log-likelihood changes by < tol=1e-3 — the same
+    criterion sklearn uses. The early stop matters for parity: on
+    degenerate (unimodal / low-contrast) wells the fully-converged EM
+    fixed point differs substantially from sklearn's default-tol result
+    (mask IoU ~0.73 between sklearn's own default and converged fits),
+    so matching the reference means matching the stopping rule.
 
     Args:
         pixels: flat float array of intensities.
         weights: optional per-pixel weights in [0, 1] (0 = excluded).
-        n_iter: EM iterations (fixed for jit; EM on bimodal 1-D data
-            converges in far fewer).
+        n_iter: EM iteration cap (sklearn max_iter default 100).
 
     Returns:
         (means[2], sds[2], mixing_weights[2])
@@ -49,11 +62,22 @@ def gmm2_fit(
     w = jnp.ones_like(x) if weights is None else weights.astype(jnp.float32).ravel()
     w_sum = jnp.maximum(jnp.sum(w), 1e-12)
 
-    # Deterministic split init: component 0 below the weighted mean,
-    # component 1 above (plays the role of sklearn's seeded k-means init).
+    # --- k-means init (Lloyd, deterministic): start from the weighted-mean
+    # split, then iterate midpoint repartitions to the 1-D fixed point.
     mean_all = jnp.sum(w * x) / w_sum
-    below = w * (x <= mean_all)
-    above = w * (x > mean_all)
+
+    def lloyd_step(_, thresh):
+        below = w * (x <= thresh)
+        above = w * (x > thresh)
+        n0 = jnp.maximum(jnp.sum(below), 1e-12)
+        n1 = jnp.maximum(jnp.sum(above), 1e-12)
+        m0 = jnp.sum(below * x) / n0
+        m1 = jnp.sum(above * x) / n1
+        return (m0 + m1) / 2
+
+    thresh = jax.lax.fori_loop(0, 20, lloyd_step, mean_all)
+    below = w * (x <= thresh)
+    above = w * (x > thresh)
     n0 = jnp.maximum(jnp.sum(below), 1e-12)
     n1 = jnp.maximum(jnp.sum(above), 1e-12)
     mu = jnp.stack([jnp.sum(below * x) / n0, jnp.sum(above * x) / n1])
@@ -66,8 +90,8 @@ def gmm2_fit(
     var = jnp.maximum(var, _REG_COVAR)
     pi = jnp.stack([n0, n1]) / (n0 + n1)
 
-    def em_step(_, state):
-        mu, var, pi = state
+    def em_step(state):
+        mu, var, pi, _prev_ll, it = state
         # E-step: log responsibilities (K=2, broadcast over pixels)
         diff = x[None, :] - mu[:, None]  # (2, N)
         log_prob = (
@@ -76,6 +100,7 @@ def gmm2_fit(
             + jnp.log(pi)[:, None]
         )
         log_norm = jax.scipy.special.logsumexp(log_prob, axis=0, keepdims=True)
+        ll = jnp.sum(w * log_norm[0]) / w_sum  # mean per-sample lower bound
         resp = jnp.exp(log_prob - log_norm) * w[None, :]
         # M-step
         nk = jnp.maximum(jnp.sum(resp, axis=1), 1e-12)
@@ -85,9 +110,23 @@ def gmm2_fit(
             + _REG_COVAR
         )
         pi_new = nk / jnp.sum(nk)
-        return mu_new, var_new, pi_new
+        return mu_new, var_new, pi_new, ll, it + 1
 
-    mu, var, pi = jax.lax.fori_loop(0, n_iter, em_step, (mu, var, pi))
+    # while_loop carrying (mu, var, pi, (ll_prev, ll_curr), iter); stop
+    # when the lower-bound change drops below tol (sklearn's rule, checked
+    # after each M-step) or at the n_iter cap
+    def cond(state):
+        mu, var, pi, (ll_prev, ll_curr), it = state
+        keep = jnp.abs(ll_curr - ll_prev) >= _EM_TOL
+        return jnp.logical_and(it < n_iter, keep)
+
+    def body(state):
+        mu, var, pi, (ll_prev, ll_curr), it = state
+        mu2, var2, pi2, ll_new, it2 = em_step((mu, var, pi, ll_curr, it))
+        return mu2, var2, pi2, (ll_curr, ll_new), it2
+
+    init = (mu, var, pi, (jnp.float32(-jnp.inf), jnp.float32(jnp.inf)), 0)
+    mu, var, pi, _, _ = jax.lax.while_loop(cond, body, init)
     return mu, jnp.sqrt(var), pi
 
 
