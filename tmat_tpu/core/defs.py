@@ -16,7 +16,7 @@ from pathlib import Path
 
 import numpy as np
 
-SUPPORTED_IMAGE_FORMATS = ("TIF", "TIFF", "OME-TIFF", "PNG")
+SUPPORTED_IMAGE_FORMATS = ("ND2", "TIF", "TIFF", "OME-TIFF", "PNG")
 
 # Max values for each integer type (defs.py:10-14)
 MAX_UINT16 = np.iinfo(np.uint16).max

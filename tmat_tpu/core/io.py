@@ -3,9 +3,10 @@
 Parity target: fl_tissue_model_tools/helper.py:23-139 (load_image /
 get_image_dims / get_unique_output_filepath / get_img_mask_paths). The
 reference reads via aicsimageio; this implementation reads TIFF (multi-page,
-ImageJ hyperstacks) and PNG via PIL, which covers the reference's supported
-input formats except ND2 (gated with a clear error). Returned layout matches
-the reference contract: ZYX (or YX when Z==1) plus PhysicalPixelSizes.
+ImageJ hyperstacks) and PNG via PIL, and Nikon ND2 via the bundled chunk
+parser (core/nd2.py; an installed `nd2` package is preferred when present).
+Returned layout matches the reference contract: ZYX (or YX when Z==1) plus
+PhysicalPixelSizes.
 """
 
 from __future__ import annotations
@@ -116,17 +117,51 @@ def _read_pages(img: Image.Image) -> np.ndarray:
     return np.stack(pages) if len(pages) > 1 else pages[0][None]
 
 
+def _load_nd2(file_path: str) -> Tuple[np.ndarray, PhysicalPixelSizes, ImageDims]:
+    """Load a Nikon .nd2 Z stack (helper.py:23-95 via aicsimageio[nd2]).
+
+    Prefers an installed `nd2` package when available; otherwise uses the
+    bundled pure-Python chunk parser (core/nd2.py). The sequence axis is
+    interpreted as Z (the tools' .nd2 inputs are single-position stacks).
+    """
+    try:
+        import nd2 as _nd2_ext  # optional external backend
+
+        with _nd2_ext.ND2File(file_path) as f:
+            arr = np.asarray(f.asarray())
+            vs = f.voxel_size()  # (x, y, z) in µm
+            sizes = PhysicalPixelSizes(Z=vs.z, Y=vs.y, X=vs.x)
+            # nd2 returns dims per f.sizes, commonly (Z, C, Y, X) subsets;
+            # normalize to (Z, C, Y, X)
+            if arr.ndim == 2:
+                arr = arr[None, None]
+            elif arr.ndim == 3:
+                arr = arr[:, None]
+    except ImportError:
+        from tmat_tpu.core.nd2 import ND2ParseError, read_nd2
+
+        try:
+            arr, px = read_nd2(file_path)  # (Z, C, Y, X)
+        except (ND2ParseError, OSError) as e:
+            print(
+                f"{SFM.failure} Could not parse ND2 file {file_path}: {e}\n",
+                flush=True,
+            )
+            sys.exit(1)
+        sizes = PhysicalPixelSizes(Z=px["Z"], Y=px["Y"], X=px["X"])
+
+    n_z, n_c, height, width = arr.shape
+    tczyx = arr.transpose(1, 0, 2, 3)[None]  # (1, C, Z, Y, X)
+    dims = ImageDims(T=1, C=n_c, Z=n_z, Y=height, X=width)
+    return tczyx, sizes, dims
+
+
 def _load_single_file(file_path: str) -> Tuple[np.ndarray, PhysicalPixelSizes, ImageDims]:
     """Load one file to a TCZYX array with metadata."""
     ext = Path(file_path).suffix.lower().lstrip(".")
     fmt_name = {"tif": "TIFF", "tiff": "TIFF", "png": "PNG", "jpg": "JPEG", "jpeg": "JPEG"}.get(ext)
     if ext == "nd2":
-        print(
-            f"{SFM.failure} ND2 reading requires the optional nd2 backend which is "
-            f"not bundled in this build: {file_path}\n"
-            f"Supported formats: {SUPPORTED_IMAGE_FORMATS}\n"
-        )
-        sys.exit(1)
+        return _load_nd2(file_path)
     if fmt_name is None:
         print(
             f"{SFM.failure} Unsupported image format: {file_path}\n"
