@@ -39,6 +39,7 @@ from tmat_tpu.ops.resize import resize
 from tmat_tpu.parallel.mesh import make_mesh, pad_to_multiple
 from tmat_tpu.parallel.plate import plate_segment, plate_threshold, plate_zproj
 from tmat_tpu.topo.morse import MorseGraph
+from tmat_tpu.topo.morse_native import morse_stats_native
 from tmat_tpu.topo.transforms import filter_branch_seg_mask
 
 DOWNSAMPLE_WIDTH = 384
@@ -59,14 +60,20 @@ def _analyze_well_graph(
         # an empty well has zero branches by definition
         return 0, 0.0, 0.0
     scaled = (pred384 - lo) * np.float32(255.0 / (hi - lo))
-    mg = MorseGraph(
-        scaled,
+    kwargs = dict(
         thresholds=(config.get("graph_thresh_1", 5), config.get("graph_thresh_2", 10)),
         smoothing_window=round(max(1, to_px(config.get("graph_smoothing_window", 12)))),
         min_branch_length=round(to_px(config.get("min_branch_length", 12))),
         remove_isolated_branches=config.get("remove_isolated_branches", False),
         pruning_mask=pruning_mask,
     )
+    # native Morse engine (csrc/morse.cpp): bit-identical to MorseGraph
+    # (test_morse_native) at ~35x the speed on dense rasters
+    stats = morse_stats_native(scaled, **kwargs)
+    if stats is not None:
+        n_branches, total_px, avg_px = stats
+        return n_branches, to_um(total_px), to_um(avg_px)
+    mg = MorseGraph(scaled, **kwargs)
     return (
         len(mg.barcode),
         to_um(mg.get_total_branch_length()),

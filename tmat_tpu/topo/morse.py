@@ -392,11 +392,17 @@ class MorseGraph:
 
     @staticmethod
     def __edge_len(verts, v1_idx, v2_idx):
-        # hot path (called per edge in BFS/labeling): plain hypot beats
-        # np.linalg.norm's ufunc machinery on 2-vectors by ~10x
+        # hot path (called per edge in BFS/labeling): plain sqrt beats
+        # np.linalg.norm's ufunc machinery on 2-vectors by ~10x. sqrt of
+        # the explicit sum (NOT math.hypot, whose correctly-rounded
+        # algorithm differs from libm's in the last ulp) keeps this
+        # bit-identical to the native engine (csrc/morse.cpp): IEEE 754
+        # +, * and sqrt are correctly rounded, so C++ and Python agree.
         a = verts[v1_idx]
         b = verts[v2_idx]
-        return math.hypot(float(a[0]) - float(b[0]), float(a[1]) - float(b[1]))
+        dx = float(a[0]) - float(b[0])
+        dy = float(a[1]) - float(b[1])
+        return math.sqrt(dx * dx + dy * dy)
 
     @staticmethod
     def __trim_graph(
