@@ -38,10 +38,20 @@ _BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 
 
 def _make_segmentor(dtype):
+    from tmat_tpu.core import defs
     from tmat_tpu.models.unet import UNetXceptionPatchSegmentor
 
+    # the SHIPPED production checkpoint (same FLOPs as random weights, but
+    # perf and quality claims should exercise the same artifact end-to-end)
+    ckpt = defs.model_training_path(
+        "binary_segmentation/checkpoints/checkpoint_1.msgpack"
+    )
     return UNetXceptionPatchSegmentor(
-        PATCH, None, FILTERS, ds_ratio=DS_RATIO, dtype=dtype
+        PATCH,
+        ckpt if Path(ckpt).is_file() else None,
+        FILTERS,
+        ds_ratio=DS_RATIO,
+        dtype=dtype,
     )
 
 
@@ -95,7 +105,12 @@ def main():
     vs_baseline = None
     if _BASELINE_FILE.is_file():
         baseline = json.loads(_BASELINE_FILE.read_text())
-        cpu = baseline.get("cpu_wells_per_sec")
+        # prefer the honest full-pipeline CPU pin (all stages on the CPU
+        # backend, measured by bench_matrix.py --pin-cpu-baseline); fall
+        # back to the round-1 UNet-stage-only pin
+        cpu = baseline.get("cpu_full_pipeline_wells_per_sec") or baseline.get(
+            "cpu_wells_per_sec"
+        )
         if cpu:
             vs_baseline = throughput / cpu
 

@@ -1,0 +1,210 @@
+"""Per-tool benchmark matrix (VERDICT r1 item 4 / ROADMAP item 7).
+
+Measures each tool's hot path in isolation, plus the end-to-end headline
+(bench.py's workload), and prints one JSON line per metric:
+
+  zproj_fs            stacks/sec   focus-stack a (B, Z, 1024, 1024) plate,
+                                   including H2D of the uint8 stacks
+  cell_area_threshold imgs/sec     rescale + GMM-EM threshold at the
+                                   tool's dsamp_size=512
+  inv_depth           slices/sec   preprocessing + 3-member ResNet50-TL
+                                   ensemble forward at 256px
+  branches_per_well   wells/sec    tiled-UNet seg (patch 320, 8x TTA) +
+                                   postprocess + native Morse per well
+  plate_end_to_end    wells/sec    the headline (same as bench.py)
+
+Usage:
+  python bench_matrix.py                  # run matrix on default backend
+  python bench_matrix.py --pin-cpu-baseline
+      # measure the FULL plate pipeline on the CPU backend (1 well,
+      # compile excluded) and record cpu_full_pipeline_wells_per_sec in
+      # BASELINE_CPU.json, making bench.py's vs_baseline defensible
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", str(Path.home() / ".cache" / "jax_bench")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+_BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
+
+
+def _emit(metric, value, unit, vs_baseline=None):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 4),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _timeit(fn, repeats=3):
+    fn()  # warm (compile)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_zproj(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from tmat_tpu.ops.zproj import proj_focus_stacking_batch
+
+    stacks = (rng.rand(8, 8, 1024, 1024) * 255).astype(np.uint8)
+
+    def run():
+        out = proj_focus_stacking_batch(jnp.asarray(stacks))
+        jax.block_until_ready(out)
+
+    dt = _timeit(run)
+    _emit("zproj_fs", 8 / dt, "stacks/sec (Z=8 1024px incl. H2D)")
+
+
+def bench_cell_area(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from tmat_tpu.ops.rescale import rescale_intensity
+    from tmat_tpu.ops.threshold import exec_threshold
+
+    imgs = rng.normal(60, 15, size=(16, 512, 512)).astype(np.float32)
+    imgs[:, 100:300, 100:300] += 120
+
+    @jax.jit
+    def batch(x):
+        def one(img):
+            scaled = rescale_intensity(img, (0, 1))
+            return exec_threshold(scaled, None, 0.0)
+
+        return jax.vmap(one)(x)
+
+    def run():
+        jax.block_until_ready(batch(jnp.asarray(imgs)))
+
+    dt = _timeit(run)
+    _emit("cell_area_threshold", 16 / dt, "imgs/sec (512px GMM threshold)")
+
+
+def bench_inv_depth(rng):
+    import jax
+
+    from tmat_tpu.core import defs
+    from tmat_tpu.models.preprocess import prep_inv_depth_imgs
+    from tmat_tpu.models.params_io import load_params
+    from tmat_tpu.models.resnet import (
+        build_resnet50_tl,
+        make_ensemble_apply,
+        stack_ensemble_variables,
+    )
+
+    n_members, n_slices = 3, 16
+    model, template = build_resnet50_tl(
+        1, (256, 256, 3), base_last_layer="conv4_block6_out"
+    )
+    ens_dir = Path(defs.model_training_path("best_ensemble"))
+    member_vars = []
+    for i in range(n_members):
+        ckpt = ens_dir / f"best_finetune_weights_{i}.msgpack"
+        member_vars.append(
+            load_params(ckpt, template) if ckpt.is_file() else template
+        )
+    stacked = stack_ensemble_variables(member_vars)
+    ensemble_apply = make_ensemble_apply(model)
+    stack = (rng.rand(n_slices, 700, 700) * 255).astype(np.float32)
+
+    def run():
+        x = prep_inv_depth_imgs(stack, (256, 256))
+        jax.block_until_ready(ensemble_apply(stacked, x))
+
+    dt = _timeit(run)
+    _emit(
+        "inv_depth",
+        n_slices / dt,
+        f"slices/sec (prep + {n_members}-member ResNet ensemble, 256px)",
+    )
+
+
+def bench_plate(n_wells=6, dtype=None, emit_branches=True):
+    import bench as headline
+
+    throughput = headline.run_plate_workload(n_wells, dtype)
+    baseline = None
+    if _BASELINE_FILE.is_file():
+        data = json.loads(_BASELINE_FILE.read_text())
+        cpu = data.get("cpu_full_pipeline_wells_per_sec") or data.get(
+            "cpu_wells_per_sec"
+        )
+        if cpu:
+            baseline = throughput / cpu
+    _emit(
+        "plate_end_to_end",
+        throughput,
+        "wells/sec (zproj+area+UNet-seg+morse, 1024px, Z=8)",
+        baseline,
+    )
+    return throughput
+
+
+def pin_cpu_baseline():
+    """Measure the full plate pipeline on the CPU backend and record it."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import bench as headline
+
+    throughput = headline.run_plate_workload(1)
+    data = (
+        json.loads(_BASELINE_FILE.read_text()) if _BASELINE_FILE.is_file() else {}
+    )
+    data["cpu_full_pipeline_wells_per_sec"] = round(throughput, 6)
+    data["cpu_full_pipeline_method"] = (
+        "bench.py plate workload (ALL stages: zproj, GMM area, tiled UNet "
+        "patch 320 filters 64-512 8x TTA, native Morse) on the CPU backend, "
+        "1 well, compile excluded via same-shape warmup"
+    )
+    _BASELINE_FILE.write_text(json.dumps(data, indent=1))
+    _emit("cpu_full_pipeline_pin", throughput, "wells/sec (CPU backend)")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pin-cpu-baseline", action="store_true")
+    p.add_argument("--skip", nargs="*", default=[])
+    args = p.parse_args()
+
+    if args.pin_cpu_baseline:
+        pin_cpu_baseline()
+        return
+
+    rng = np.random.RandomState(0)
+    if "zproj" not in args.skip:
+        bench_zproj(rng)
+    if "cell_area" not in args.skip:
+        bench_cell_area(rng)
+    if "inv_depth" not in args.skip:
+        bench_inv_depth(rng)
+    if "plate" not in args.skip:
+        bench_plate()
+
+
+if __name__ == "__main__":
+    main()
