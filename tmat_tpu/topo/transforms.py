@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import networkx as nx
 import numpy as np
 import numpy.typing as npt
+from scipy import ndimage
 
 from tmat_tpu.ops.morphology import disk, skeletonize
 from tmat_tpu.topo import regionprops as rp
@@ -149,21 +150,36 @@ def filter_branch_seg_mask(
     else:
         seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
 
-    # Only degrees and connected components are needed here; build them
-    # directly from the skeleton raster (nx_graph_from_binary_skeleton
-    # remains the public weighted-graph API).
-    node_pos, degrees, components = _skeleton_components(seg_skel)
-
-    for cc in components:
-        sample = cc[0]
-        coords = node_pos[sample]
-        lbl = labeled[coords[0]][coords[1]]
-        if lbl == 0:
-            continue
-        circularity = circularities[lbl - 1]
-        has_fork = any(degrees[n] > 2 for n in cc)
-        if (remove_isolated and not has_fork) or circularity > 0.8:
-            mask[labeled == lbl] = 0
+    # Only per-component max degree and the owning seg label are needed;
+    # both are vectorized raster reductions (the graph-building path cost
+    # ~50ms/well and dominated the plate postprocess stage). Degree of a
+    # skeleton pixel = its 8-neighbor count; skeleton components = 8-conn
+    # ndimage.label; every skeleton component lies inside exactly one
+    # labeled mask component, so a max over `labeled` recovers its label.
+    skel_b = seg_skel.astype(bool)
+    skel_labels, n_sk = ndimage.label(skel_b, structure=np.ones((3, 3), int))
+    if n_sk:
+        deg = (
+            ndimage.correlate(
+                skel_b.astype(np.uint8), np.ones((3, 3), np.uint8), mode="constant"
+            )
+            - 1
+        )
+        # scatter-reduce by label (ndimage.maximum argsorts internally)
+        sk_px = skel_labels[skel_b]
+        max_deg = np.zeros(n_sk + 1, deg.dtype)
+        np.maximum.at(max_deg, sk_px, deg[skel_b])
+        seg_lbl = np.zeros(n_sk + 1, np.int64)
+        seg_lbl[sk_px] = labeled[skel_b]  # constant within a component
+        keep = np.ones(n_labels + 1, bool)
+        for k in range(1, n_sk + 1):
+            lbl = seg_lbl[k]
+            if lbl == 0:
+                continue
+            has_fork = max_deg[k] > 2
+            if (remove_isolated and not has_fork) or circularities[lbl - 1] > 0.8:
+                keep[lbl] = False
+        mask[~keep[labeled]] = 0
 
     return mask
 
