@@ -107,3 +107,31 @@ class TestPreprocess:
         # per-slice rescale to 0..255 before mean subtraction
         assert out.max() <= 255.0
         assert out.min() >= -123.69
+
+
+def test_upsample_conv_commute():
+    """The up-block residual computes conv1x1 BEFORE nearest upsampling
+    (models/unet.py); pointwise conv commutes with pixel replication
+    bit-exactly, so this must equal the reference order (conv after
+    upsample, models.py:85-171) with the same weights."""
+    import flax.linen as nn
+
+    class RefOrder(nn.Module):
+        @nn.compact
+        def __call__(self, p):
+            return nn.Conv(8, (1, 1), padding="SAME", name="c")(
+                unet_mod._upsample2(p)
+            )
+
+    class FastOrder(nn.Module):
+        @nn.compact
+        def __call__(self, p):
+            return unet_mod._upsample2(
+                nn.Conv(8, (1, 1), padding="SAME", name="c")(p)
+            )
+
+    p = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 12), jnp.float32)
+    variables = RefOrder().init(jax.random.PRNGKey(0), p)
+    ref = RefOrder().apply(variables, p)
+    fast = FastOrder().apply(variables, p)
+    assert bool(jnp.all(ref == fast))

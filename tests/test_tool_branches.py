@@ -199,3 +199,40 @@ def test_branches_sweep_configs(tmp_path, monkeypatch):
     )
     sweeps = list(out_dir.glob("branching_analysis_CONFIG_thresh1_*.csv"))
     assert len(sweeps) == 2, [p.name for p in out_dir.iterdir()]
+
+
+def test_branches_no_vis_matches_vis(tmp_path):
+    """--no-vis (native C++ Morse fast path, no PNGs) must produce a CSV
+    bit-identical to the default run's, and skip the visualizations dir."""
+    shipped = defs.PKG_MODEL_DIR / "binary_segmentation"
+    if not (shipped / "checkpoints" / "checkpoint_1.msgpack").is_file():
+        pytest.skip("shipped segmentor checkpoint not present")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    Image.fromarray(_vessel_network_img()).save(in_dir / "wellA.tif")
+
+    rows = {}
+    for tag, extra in (("vis", []), ("novis", ["--no-vis"])):
+        out_dir = tmp_path / f"out_{tag}"
+        compute_branches.main(
+            argv=[
+                str(in_dir),
+                str(out_dir),
+                "--image-width-microns",
+                "1000",
+                "-c",
+                str(
+                    defs.default_config_path(
+                        "default_branching_computation.json"
+                    )
+                ),
+            ]
+            + extra
+        )
+        with open(out_dir / "branching_analysis.csv", encoding="utf-16") as f:
+            rows[tag] = list(csv.reader(f))
+
+    assert rows["novis"] == rows["vis"]
+    assert not (tmp_path / "out_novis" / "visualizations").exists()
+    assert (tmp_path / "out_vis" / "visualizations" / "wellA").is_dir()

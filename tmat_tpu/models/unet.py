@@ -117,8 +117,13 @@ class UNetXception(nn.Module):
             x = nn.ConvTranspose(filters, (3, 3), padding="SAME", dtype=self.dtype)(x)
             x = norm()(x)
             x = _upsample2(x)
-            residual = nn.Conv(filters, (1, 1), padding="SAME", dtype=self.dtype)(
-                _upsample2(previous)
+            # conv1x1(upsample2(p)) == upsample2(conv1x1(p)) bit-exactly
+            # (pointwise conv commutes with nearest replication), and the
+            # conv then runs on 4x fewer pixels — the residual convs at the
+            # largest resolutions were the biggest HBM readers in the
+            # forward pass (test_unet.py::test_upsample_conv_commute)
+            residual = _upsample2(
+                nn.Conv(filters, (1, 1), padding="SAME", dtype=self.dtype)(previous)
             )
             x = x + residual
             previous = x

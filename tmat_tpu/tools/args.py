@@ -278,6 +278,16 @@ def parse_branching_args(arg_defaults: Dict[str, Any], argv=None) -> argparse.Na
         help="Path to a UNet patch segmentor config JSON.",
     )
     parser.add_argument(
+        "--no-vis",
+        action="store_true",
+        help=(
+            "Skip saving visualization PNGs (original/prediction/barcode/"
+            "Morse tree) and route branch statistics through the native "
+            "C++ Morse engine. Faster for large batches; CSV outputs are "
+            "identical."
+        ),
+    )
+    parser.add_argument(
         "-c",
         "--config",
         type=str,

@@ -151,6 +151,11 @@ def analyze_img(
     remove_isolated_branches = config.get("remove_isolated_branches", False)
     time_index = config.get("time")
     channel_index = config.get("channel")
+    vis = config.get("save_vis", True)
+    # with --no-vis every save_vis call becomes a no-op and the Morse
+    # stage runs on the native C++ engine (statistics only, no graph
+    # object to plot); CSV outputs are identical (test_morse_native.py)
+    sv = save_vis if vis else (lambda *a, **k: None)
 
     print("", flush=True)
     print("=========================================", flush=True)
@@ -173,7 +178,8 @@ def analyze_img(
         image_width_microns = img.shape[-1] * pix_sizes.X
 
     vis_dir = output_dir / "visualizations" / img_id
-    vis_dir.mkdir(parents=True, exist_ok=True)
+    if vis:
+        vis_dir.mkdir(parents=True, exist_ok=True)
 
     img_dsamp_res = tuple(
         int(v)
@@ -185,7 +191,7 @@ def analyze_img(
     if n_dims == 3:
         # --- Z stack: Sato vesselness + post-processing (device) ----------
         original_image = img.max(0)
-        save_vis(original_image, vis_dir, "original_image.png")
+        sv(original_image, vis_dir, "original_image.png")
 
         if use_well_mask:
             original_dsamp = np.asarray(
@@ -235,7 +241,7 @@ def analyze_img(
             0.0,
         )
         analysis_img = np.asarray(gaussian(vessels, 1.0, mode="nearest"))
-        save_vis(analysis_img, vis_dir, "vesselness_image.png")
+        sv(analysis_img, vis_dir, "vesselness_image.png")
     else:
         # --- 2-D image: UNet patch segmentation (fused tiled inference) ---
         target_shape = target_shape_for_ratio(img.shape[:2], model.ds_ratio)
@@ -243,7 +249,7 @@ def analyze_img(
             resize(jnp.asarray(img, jnp.float32), target_shape, "lanczos4")
         )
         original_image = img.copy()
-        save_vis(original_image, vis_dir, "original_image.png")
+        sv(original_image, vis_dir, "original_image.png")
         img = np.asarray(rescale_intensity(jnp.asarray(img), out_range=(0, 1)))
 
         if use_well_mask:
@@ -257,7 +263,7 @@ def analyze_img(
         print("Segmenting image...", flush=True)
 
         pred = model.predict(img * well_mask, auto_resample=False)
-        save_vis(pred, vis_dir, "prediction.png")
+        sv(pred, vis_dir, "prediction.png")
 
         seg_mask = pred > 0.5
         seg_mask = filter_branch_seg_mask((seg_mask * well_mask).astype(np.uint8))
@@ -272,8 +278,8 @@ def analyze_img(
         )
         pred = pred * relative_dt
 
-        save_vis(seg_mask, vis_dir, "segmentation_mask.png")
-        save_vis(pred, vis_dir, "distance_transform.png")
+        sv(seg_mask, vis_dir, "segmentation_mask.png")
+        sv(pred, vis_dir, "distance_transform.png")
 
         analysis_img = np.asarray(
             resize(jnp.asarray(pred, jnp.float32), img_dsamp_res, "linear")
@@ -286,7 +292,7 @@ def analyze_img(
         )
 
     if use_well_mask:
-        save_vis(np.asarray(well_mask) * 255, vis_dir, "well_mask.png")
+        sv(np.asarray(well_mask) * 255, vis_dir, "well_mask.png")
 
     # --- per-config graph sweeps (compute_branches.py:366-395) -------------
     embed_graph_params = {
@@ -342,65 +348,64 @@ def analyze_img(
             )
         )
 
-        try:
-            morse_graph = MorseGraph(
-                np.asarray(
-                    rescale_intensity(jnp.asarray(analysis_img), out_range=(0, 255))
-                ),
-                thresholds=(cfg["thresh1"], cfg["thresh2"]),
-                smoothing_window=smoothing_window_px,
-                min_branch_length=min_branch_length_px,
-                max_branch_length=max_branch_length_px,
-                remove_isolated_branches=remove_isolated_branches,
-                pruning_mask=pruning_mask,
-            )
-        except NetworkXPointlessConcept:
-            print(f"No branches found for {img_id}.", flush=True)
-            return
+        scaled_img = np.asarray(
+            rescale_intensity(jnp.asarray(analysis_img), out_range=(0, 255))
+        )
+        morse_kwargs = dict(
+            thresholds=(cfg["thresh1"], cfg["thresh2"]),
+            smoothing_window=smoothing_window_px,
+            min_branch_length=min_branch_length_px,
+            max_branch_length=max_branch_length_px,
+            remove_isolated_branches=remove_isolated_branches,
+            pruning_mask=pruning_mask,
+        )
+
+        morse_graph = None
+        native_stats = None
+        if not vis:
+            # statistics-only fast path: the C++ engine computes the same
+            # smooth/trim/forest/barcode chain bit-identically
+            # (test_morse_native.py) without building the Python graph the
+            # plots would need
+            from tmat_tpu.topo.morse_native import morse_stats_native
+
+            native_stats = morse_stats_native(scaled_img, **morse_kwargs)
+
+        if native_stats is None:
+            try:
+                morse_graph = MorseGraph(scaled_img, **morse_kwargs)
+            except NetworkXPointlessConcept:
+                print(f"No branches found for {img_id}.", flush=True)
+                return
 
         # Barcode + Morse tree visualizations (compute_branches.py:431-450)
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        save_path = tio.get_unique_output_filepath(
-            str(vis_dir / f"barcode{tuned_str}.png")
-        )
-        plt.figure(figsize=(6, 6))
-        plt.margins(0)
-        ax = plt.gca()
-        scaling_factor = original_image.shape[1] / img_dsamp_res[1]
-        morse_graph.plot_colored_barcode(scaling_factor=scaling_factor, ax=ax)
-        plt.savefig(save_path, dpi=300, bbox_inches="tight", pad_inches=0)
-
-        save_path = tio.get_unique_output_filepath(
-            str(vis_dir / f"morse_tree{tuned_str}.png")
-        )
-        fig_width = 10
-        fig_height = fig_width * (original_image.shape[0] / original_image.shape[1])
-        plt.figure(figsize=(fig_width, fig_height))
-        plt.margins(0)
-        ax = plt.gca()
-        ax.imshow(
-            np.asarray(
-                rescale_intensity(jnp.asarray(original_image), out_range=(0, 255))
-            ),
-            cmap="gray",
-        )
-        morse_graph.plot_colored_tree(scaling_factor=scaling_factor, ax=ax)
-        plt.savefig(save_path, dpi=200, bbox_inches="tight", pad_inches=0)
-        plt.close("all")
+        if vis:
+            _save_morse_vis(
+                morse_graph,
+                vis_dir,
+                tuned_str,
+                original_image,
+                img_dsamp_res,
+            )
 
         print("\nComputing branch statistics...", flush=True)
 
-        total_branch_length = pixels_to_microns(
-            morse_graph.get_total_branch_length(), width_px, image_width_microns
-        )
-        avg_branch_length = pixels_to_microns(
-            morse_graph.get_average_branch_length(), width_px, image_width_microns
-        )
-        total_num_branches = len(morse_graph.barcode)
+        if native_stats is not None:
+            total_num_branches, total_px, avg_px = native_stats
+            total_branch_length = pixels_to_microns(
+                total_px, width_px, image_width_microns
+            )
+            avg_branch_length = pixels_to_microns(
+                avg_px, width_px, image_width_microns
+            )
+        else:
+            total_branch_length = pixels_to_microns(
+                morse_graph.get_total_branch_length(), width_px, image_width_microns
+            )
+            avg_branch_length = pixels_to_microns(
+                morse_graph.get_average_branch_length(), width_px, image_width_microns
+            )
+            total_num_branches = len(morse_graph.barcode)
 
         fields = [img_id, total_num_branches, total_branch_length, avg_branch_length]
 
@@ -418,6 +423,42 @@ def analyze_img(
             writer.writerow(fields)
 
         print(f"Results saved to {output_file}.", flush=True)
+
+
+def _save_morse_vis(morse_graph, vis_dir, tuned_str, original_image, img_dsamp_res):
+    """Barcode + Morse-tree overlay PNGs (compute_branches.py:431-450)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    save_path = tio.get_unique_output_filepath(
+        str(vis_dir / f"barcode{tuned_str}.png")
+    )
+    plt.figure(figsize=(6, 6))
+    plt.margins(0)
+    ax = plt.gca()
+    scaling_factor = original_image.shape[1] / img_dsamp_res[1]
+    morse_graph.plot_colored_barcode(scaling_factor=scaling_factor, ax=ax)
+    plt.savefig(save_path, dpi=300, bbox_inches="tight", pad_inches=0)
+
+    save_path = tio.get_unique_output_filepath(
+        str(vis_dir / f"morse_tree{tuned_str}.png")
+    )
+    fig_width = 10
+    fig_height = fig_width * (original_image.shape[0] / original_image.shape[1])
+    plt.figure(figsize=(fig_width, fig_height))
+    plt.margins(0)
+    ax = plt.gca()
+    ax.imshow(
+        np.asarray(
+            rescale_intensity(jnp.asarray(original_image), out_range=(0, 255))
+        ),
+        cmap="gray",
+    )
+    morse_graph.plot_colored_tree(scaling_factor=scaling_factor, ax=ax)
+    plt.savefig(save_path, dpi=200, bbox_inches="tight", pad_inches=0)
+    plt.close("all")
 
 
 def main(args=None, argv=None):
@@ -480,6 +521,8 @@ def main(args=None, argv=None):
 
     config["time"] = args.time
     config["channel"] = args.channel
+    # GUI-dispatched namespaces predate --no-vis; default to saving
+    config["save_vis"] = not args_dict.get("no_vis", False)
     output_dir = Path(args.out_root)
     created_csv_files = set()
 
