@@ -115,3 +115,132 @@ def plate_segment(
     key = ("segment", mesh, imgs.shape, window_size, subdivisions)
     fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
     return fn(jax.device_put(imgs, sharding))
+
+
+def plate_stage1(
+    mesh: Mesh,
+    stacks: jax.Array,
+    pred_func: Callable,
+    window_size: int,
+    subdivisions: int,
+    target: Tuple[int, int],
+    sd_coef,
+    wm_small: Optional[jax.Array] = None,
+):
+    """Fused per-chunk device program for the plate pipeline.
+
+    zproj-max -> lanczos resize -> rescale -> tiled UNet segmentation,
+    plus GMM threshold (area fraction only), disk(2) median filter and
+    Zhang-Suen skeletonization of the thresholded prediction — ONE XLA
+    program per chunk. Composes exactly the same ops as the unfused
+    plate_zproj/plate_threshold/plate_segment + median_filter_batch +
+    skeletonize sequence (asserted by test_plate_pipeline), but a single
+    dispatch: per-op dispatch latency through the remote TPU tunnel is
+    tens of ms, which dominated the non-UNet device time.
+
+    Returns (area, pred, filtered, skel): area is the thresholded-pixel
+    fraction (of well pixels when ``wm_small`` is given, of the frame
+    otherwise); pred is the blended UNet probability map at ``target``
+    resolution; filtered/skel feed filter_branch_seg_mask.
+    """
+    from tmat_tpu.ops import morphology as _morph
+    from tmat_tpu.ops.resize import resize as _resize
+    from tmat_tpu.topo.transforms import _median_filter_disk2_batch
+
+    sharding = _data_sharding(mesh)
+    use_mask = wm_small is not None
+
+    def build():
+        def one(stack, wm_s, coef):
+            proj = jnp.max(stack, axis=0).astype(jnp.float32)
+            small = _resize(proj[None], target, "lanczos")[0]
+            small = rescale_intensity(small, out_range=(0, 1))
+            if use_mask:
+                wm_full = (
+                    _resize(wm_s[None], proj.shape, "nearest")[0] > 0
+                ).astype(jnp.float32)
+            else:
+                wm_full = jnp.ones_like(proj)
+            scaled = rescale_intensity(proj, out_range=(0, 1))
+            scaled = jnp.where(wm_full > 0, scaled, 0.0)
+            thresh = (exec_threshold(scaled, wm_full, coef) > 0).astype(jnp.float32)
+            if use_mask:
+                area = jnp.sum(thresh) / jnp.maximum(jnp.sum(wm_full), 1.0)
+                small = small * wm_s
+            else:
+                area = jnp.mean(thresh)
+            pred = _tiled_core(small, pred_func, window_size, subdivisions, 1)
+            return area, pred
+
+        def chunk_fn(stacks, wm_s, coef):
+            areas, preds = jax.vmap(one, in_axes=(0, 0, None))(stacks, wm_s, coef)
+            seg = (preds > 0.5).astype(jnp.float32)
+            filtered = _median_filter_disk2_batch(seg) > 0.5
+            skels = jax.vmap(_morph.skeletonize)(filtered)
+            return areas, preds, filtered, skels
+
+        return jax.jit(
+            chunk_fn,
+            in_shardings=(sharding, sharding, None),
+            out_shardings=(sharding, sharding, sharding, sharding),
+        )
+
+    key = (
+        "stage1",
+        mesh,
+        stacks.shape,
+        stacks.dtype.name,
+        window_size,
+        subdivisions,
+        target,
+        use_mask,
+    )
+    fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
+    if wm_small is None:
+        wm_small = jnp.ones((stacks.shape[0],) + tuple(target), jnp.float32)
+    return fn(
+        jax.device_put(stacks, sharding),
+        jax.device_put(wm_small, sharding),
+        jnp.float32(sd_coef),
+    )
+
+
+def plate_stage2(
+    mesh: Mesh,
+    preds: jax.Array,
+    masks: jax.Array,
+    skels_pre: jax.Array,
+    dsamp: Tuple[int, int],
+) -> jax.Array:
+    """Centerline-relative distance weighting + downsample, one program.
+
+    masks are the component-filtered segmentation masks (host stage);
+    skels_pre the pre-filter skeletons (component filtering only removes
+    whole components, so the filtered skeleton is skels_pre & masks).
+    Returns preds * dist/(dist+centerline_dt) resized to ``dsamp``.
+    """
+    from tmat_tpu.ops.distance import edt_batch as _edt_batch
+    from tmat_tpu.ops.resize import resize as _resize
+
+    sharding = _data_sharding(mesh)
+
+    def build():
+        def fn(preds, masks, skels_pre):
+            skels = skels_pre & masks
+            dist = _edt_batch(masks)
+            cdt = _edt_batch(~skels)
+            rel = dist / jnp.maximum(dist + cdt, 1e-12)
+            return _resize(preds * rel, dsamp, "linear")
+
+        return jax.jit(
+            fn,
+            in_shardings=(sharding, sharding, sharding),
+            out_shardings=sharding,
+        )
+
+    fn = _cached(("stage2", mesh, preds.shape, dsamp), build)
+    return fn(
+        jax.device_put(preds, sharding),
+        jax.device_put(masks, sharding),
+        jax.device_put(skels_pre, sharding),
+    )

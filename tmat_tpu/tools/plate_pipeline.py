@@ -33,11 +33,9 @@ from tmat_tpu.core import defs, io as tio
 from tmat_tpu.core.log import SFM, section_footer, section_header
 from tmat_tpu.core.profiling import StageTimer
 from tmat_tpu.models.unet import get_unet_patch_segmentor_from_cfg
-from tmat_tpu.ops import morphology as morph
-from tmat_tpu.ops.rescale import rescale_intensity
 from tmat_tpu.ops.resize import resize
 from tmat_tpu.parallel.mesh import make_mesh, pad_to_multiple
-from tmat_tpu.parallel.plate import plate_segment, plate_threshold, plate_zproj
+from tmat_tpu.parallel.plate import plate_zproj
 from tmat_tpu.topo.morse import MorseGraph
 from tmat_tpu.topo.morse_native import morse_stats_native
 from tmat_tpu.topo.transforms import filter_branch_seg_mask
@@ -109,15 +107,17 @@ def run_plate(
 
     with timer.stage("device_pipeline"):
         # Fully asynchronous per-chunk dispatch: every chunk's H2D transfer
-        # is issued up front (device_put is async) and the zproj ->
-        # threshold -> resize -> segment chain is queued without host
-        # barriers, so transfers of later chunks overlap earlier chunks'
-        # compute. One block at the end.
+        # is issued up front (device_put is async), then each chunk runs
+        # ONE fused program (plate_stage1: zproj -> resize -> rescale ->
+        # GMM area -> tiled UNet -> median filter -> skeletonize) — per-op
+        # dispatch latency through the remote TPU tunnel is tens of ms, so
+        # collapsing the 5-dispatch chain into one dominates the non-UNet
+        # device time. One block at the end.
         #
         # Z is zero-padded to the plate maximum, which is only neutral for
         # the max projection (zeros never win); stacks transfer in their
         # native integer dtype (4x less H2D than f32 for uint8 microscopy).
-        from tmat_tpu.parallel.plate import _data_sharding
+        from tmat_tpu.parallel.plate import _data_sharding, plate_stage1, plate_stage2
 
         sharding = _data_sharding(mesh)
         chunk = n_dev
@@ -152,52 +152,41 @@ def run_plate(
                         range(small_all.shape[0]),
                     )
                 )
-            well_masks_small = jnp.asarray(np.stack([m for m, _ in mask_pairs]))
+            well_masks_small = jnp.asarray(
+                np.stack([m for m, _ in mask_pairs]).astype(np.float32)
+            )
             shrunken_masks = np.stack([s for _, s in mask_pairs])
 
-        thresh_chunks, pred_chunks, well_count_chunks = [], [], []
+        area_chunks, pred_chunks, filt_chunks, skel_chunks = [], [], [], []
         idx = 0
         while dev_chunks:
             # consume the list so each raw-stack chunk's HBM buffer can be
-            # freed as soon as its projection is computed (the raw stacks
-            # are by far the largest device buffers)
+            # freed as soon as its fused program consumes it (the raw
+            # stacks are by far the largest device buffers)
             dc = dev_chunks.pop(0)
-            proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
-            small = resize(proj, target, "lanczos")
-            small = jax.vmap(lambda im: rescale_intensity(im, (0, 1)))(small)
-            if detect_well:
-                wm_small = well_masks_small[idx : idx + dc.shape[0]]
-                wm_full = (
-                    resize(wm_small.astype(jnp.float32), proj.shape[1:], "nearest")
-                    > 0
-                )
-                thresh_chunks.append(
-                    plate_threshold(mesh, proj, sd_coef, wm_full.astype(jnp.float32))
-                )
-                well_count_chunks.append(
-                    jnp.sum(wm_full, axis=(1, 2)).astype(jnp.float32)
-                )
-                small = small * wm_small
-            else:
-                thresh_chunks.append(plate_threshold(mesh, proj, sd_coef))
-            pred_chunks.append(
-                plate_segment(mesh, small, segmentor._pred_fn, segmentor.patch_size, 2)
+            wm = (
+                well_masks_small[idx : idx + dc.shape[0]] if detect_well else None
             )
+            a, p, f, s = plate_stage1(
+                mesh,
+                dc,
+                segmentor._pred_fn,
+                segmentor.patch_size,
+                2,
+                target,
+                sd_coef,
+                wm,
+            )
+            area_chunks.append(a)
+            pred_chunks.append(p)
+            filt_chunks.append(f)
+            skel_chunks.append(s)
             idx += dc.shape[0]
 
-        thresholded = jnp.concatenate(thresh_chunks, axis=0)
         preds = jnp.concatenate(pred_chunks, axis=0)
-        preds.block_until_ready()
-        if detect_well:
-            well_counts = jnp.concatenate(well_count_chunks)
-            areas = np.asarray(
-                jnp.sum((thresholded > 0).astype(jnp.float32), axis=(1, 2))
-                / jnp.maximum(well_counts, 1.0)
-            )
-        else:
-            areas = np.asarray(
-                jnp.mean((thresholded > 0).astype(jnp.float32), axis=(1, 2))
-            )
+        filtered = jnp.concatenate(filt_chunks, axis=0)
+        filter_skels_dev = jnp.concatenate(skel_chunks, axis=0)
+        areas = np.asarray(jnp.concatenate(area_chunks))
 
     with timer.stage("postprocess"):
         dsamp = tuple(
@@ -206,14 +195,7 @@ def run_plate(
                 np.multiply(preds.shape[1:], DOWNSAMPLE_WIDTH / preds.shape[-1])
             )
         )
-        seg_masks = preds > 0.5
-        # device-batched disk(2) median (filter_branch_seg_mask's pre-step)
-        # and the skeletons it needs for fork detection
-        from tmat_tpu.ops.distance import edt_batch
-        from tmat_tpu.topo.transforms import median_filter_batch
-
-        filtered = median_filter_batch(seg_masks.astype(jnp.float32)) > 0.5
-        filter_skels = np.asarray(jax.vmap(morph.skeletonize)(filtered))
+        filter_skels = np.asarray(filter_skels_dev)
         filtered_np = np.asarray(filtered)
 
         # component filtering needs labels/graphs -> host threads
@@ -236,12 +218,11 @@ def run_plate(
         # Component filtering only removes whole 8-connected components and
         # thinning is component-local, so the filtered skeleton is exactly
         # the precomputed one restricted to surviving pixels — no second
-        # thinning pass needed.
-        skels = jnp.asarray(filter_skels) & masks_dev
-        dist = edt_batch(masks_dev)
-        cdt = edt_batch(~skels)
-        rel = dist / jnp.maximum(dist + cdt, 1e-12)
-        preds384 = np.asarray(resize(preds * rel, dsamp, "linear"))
+        # thinning pass needed. EDTs + relative-distance weighting +
+        # downsample run as one fused program (plate_stage2).
+        preds384 = np.asarray(
+            plate_stage2(mesh, preds, masks_dev, filter_skels_dev, dsamp)
+        )
 
     with timer.stage("morse_graphs"):
         pruning_masks = [None] * n_valid
