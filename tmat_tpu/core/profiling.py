@@ -9,17 +9,26 @@ the TMAT_TPU_PROFILE_DIR environment variable.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
 from typing import Dict, Optional
 
 
 class StageTimer:
-    """Accumulates wall-clock per named pipeline stage."""
+    """Accumulates wall-clock per named pipeline stage.
+
+    Thread-safe: pipeline stages may run concurrently from worker threads
+    (the plate pipeline streams per-chunk host postprocess under the
+    device queue), so stage totals of overlapping stages can exceed the
+    pipeline wall-clock — they are per-stage work accounting, not a
+    partition of elapsed time.
+    """
 
     def __init__(self):
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        self._lock = threading.Lock()
 
     @contextmanager
     def stage(self, name: str):
@@ -28,8 +37,9 @@ class StageTimer:
             yield
         finally:
             elapsed = time.perf_counter() - start
-            self.totals[name] = self.totals.get(name, 0.0) + elapsed
-            self.counts[name] = self.counts.get(name, 0) + 1
+            with self._lock:
+                self.totals[name] = self.totals.get(name, 0.0) + elapsed
+                self.counts[name] = self.counts.get(name, 0) + 1
 
     def report(self) -> str:
         lines = ["stage timings:"]

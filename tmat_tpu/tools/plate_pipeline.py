@@ -104,6 +104,7 @@ def run_plate(
     n_wells = stacks.shape[0]
 
     padded, n_valid = pad_to_multiple(stacks, n_dev)
+    padded_wells = padded.shape[0]
 
     with timer.stage("device_pipeline"):
         # Fully asynchronous per-chunk dispatch: every chunk's H2D transfer
@@ -157,75 +158,11 @@ def run_plate(
             )
             shrunken_masks = np.stack([s for _, s in mask_pairs])
 
-        area_chunks, pred_chunks, filt_chunks, skel_chunks = [], [], [], []
-        idx = 0
-        while dev_chunks:
-            # consume the list so each raw-stack chunk's HBM buffer can be
-            # freed as soon as its fused program consumes it (the raw
-            # stacks are by far the largest device buffers)
-            dc = dev_chunks.pop(0)
-            wm = (
-                well_masks_small[idx : idx + dc.shape[0]] if detect_well else None
-            )
-            a, p, f, s = plate_stage1(
-                mesh,
-                dc,
-                segmentor._pred_fn,
-                segmentor.patch_size,
-                2,
-                target,
-                sd_coef,
-                wm,
-            )
-            area_chunks.append(a)
-            pred_chunks.append(p)
-            filt_chunks.append(f)
-            skel_chunks.append(s)
-            idx += dc.shape[0]
-
-        preds = jnp.concatenate(pred_chunks, axis=0)
-        filtered = jnp.concatenate(filt_chunks, axis=0)
-        filter_skels_dev = jnp.concatenate(skel_chunks, axis=0)
-        areas = np.asarray(jnp.concatenate(area_chunks))
-
-    with timer.stage("postprocess"):
         dsamp = tuple(
             int(v)
-            for v in np.round(
-                np.multiply(preds.shape[1:], DOWNSAMPLE_WIDTH / preds.shape[-1])
-            )
+            for v in np.round(np.multiply(target, DOWNSAMPLE_WIDTH / target[-1]))
         )
-        filter_skels = np.asarray(filter_skels_dev)
-        filtered_np = np.asarray(filtered)
-
-        # component filtering needs labels/graphs -> host threads
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            masks = list(
-                pool.map(
-                    lambda i: filter_branch_seg_mask(
-                        filtered_np[i].astype(np.uint8),
-                        footprint=None,
-                        precomputed_skeleton=filter_skels[i],
-                    )
-                    > 0,
-                    range(filtered_np.shape[0]),
-                )
-            )
-        masks_dev = jnp.asarray(np.stack(masks))
-
-        # centerline skeleton of the FILTERED masks (tool parity:
-        # compute_branches.py medial_axis runs on the filtered seg mask).
-        # Component filtering only removes whole 8-connected components and
-        # thinning is component-local, so the filtered skeleton is exactly
-        # the precomputed one restricted to surviving pixels — no second
-        # thinning pass needed. EDTs + relative-distance weighting +
-        # downsample run as one fused program (plate_stage2).
-        preds384 = np.asarray(
-            plate_stage2(mesh, preds, masks_dev, filter_skels_dev, dsamp)
-        )
-
-    with timer.stage("morse_graphs"):
-        pruning_masks = [None] * n_valid
+        pruning_masks = [None] * padded_wells
         if detect_well:
             pruning = np.asarray(
                 resize(
@@ -233,16 +170,81 @@ def run_plate(
                 )
                 > 0
             )
-            pruning_masks = [pruning[i] for i in range(n_valid)]
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            graph_stats = list(
-                pool.map(
-                    lambda i: _analyze_well_graph(
-                        preds384[i], config, dsamp[1], pruning_masks[i]
-                    ),
-                    range(n_valid),
+            pruning_masks = [pruning[i] for i in range(pruning.shape[0])]
+
+        def _finish_chunk(chunk_arrays, pruning_chunk):
+            """Host tail of one chunk: component filter -> stage2 ->
+            Morse stats. Runs in a pool thread; np.asarray blocks on this
+            chunk's device outputs only, so chunk i's host work streams
+            under chunk i+1..n's device compute."""
+            a, p, f, s = chunk_arrays
+            with timer.stage("postprocess"):
+                f_np = np.asarray(f)
+                s_np = np.asarray(s)
+                # component filtering needs labels -> host. The centerline
+                # skeleton of the FILTERED masks equals the precomputed
+                # skeleton restricted to surviving pixels (component
+                # filtering removes whole 8-connected components and
+                # thinning is component-local) — stage2 applies the
+                # restriction on device; no second thinning pass.
+                masks = np.stack(
+                    [
+                        filter_branch_seg_mask(
+                            f_np[j].astype(np.uint8),
+                            footprint=None,
+                            precomputed_skeleton=s_np[j],
+                        )
+                        > 0
+                        for j in range(f_np.shape[0])
+                    ]
                 )
-            )
+                p384 = np.asarray(
+                    plate_stage2(mesh, p, jnp.asarray(masks), s, dsamp)
+                )
+            with timer.stage("morse_graphs"):
+                stats = [
+                    _analyze_well_graph(
+                        p384[j], config, dsamp[1], pruning_chunk[j]
+                    )
+                    for j in range(p384.shape[0])
+                ]
+            return np.asarray(a), stats
+
+        futures = []
+        idx = 0
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            while dev_chunks:
+                # consume the list so each raw-stack chunk's HBM buffer can
+                # be freed as soon as its fused program consumes it (the
+                # raw stacks are by far the largest device buffers)
+                dc = dev_chunks.pop(0)
+                wm = (
+                    well_masks_small[idx : idx + dc.shape[0]]
+                    if detect_well
+                    else None
+                )
+                outs = plate_stage1(
+                    mesh,
+                    dc,
+                    segmentor._pred_fn,
+                    segmentor.patch_size,
+                    2,
+                    target,
+                    sd_coef,
+                    wm,
+                )
+                futures.append(
+                    pool.submit(
+                        _finish_chunk,
+                        outs,
+                        pruning_masks[idx : idx + dc.shape[0]],
+                    )
+                )
+                idx += dc.shape[0]
+            finished = [f.result() for f in futures]
+
+        areas = np.concatenate([a for a, _ in finished])
+        graph_stats = [st for _, stats in finished for st in stats][:n_valid]
 
     results = {
         "well_id": list(well_ids[:n_valid]),
