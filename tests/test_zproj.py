@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tmat_tpu.ops import zproj
 
@@ -67,3 +68,31 @@ def test_focus_stacking_batch(rng):
     for i in range(3):
         single = np.asarray(zproj.proj_focus_stacking(jnp.asarray(stacks[i])))
         np.testing.assert_allclose(batched[i], single, atol=1e-5)
+
+
+class TestProjMasked:
+    """proj_masked (ragged-Z plates): padded slices must not leak into any
+    of the five methods (ops/zproj.py::proj_masked)."""
+
+    @pytest.mark.parametrize("method", ["min", "max", "med", "avg", "fs"])
+    def test_matches_unpadded(self, method):
+        from tmat_tpu.ops.zproj import PROJ_METHODS, proj_masked
+
+        rng = np.random.RandomState(42)
+        real = (rng.rand(5, 24, 24) * 255).astype(np.uint8)
+        padded = np.zeros((8, 24, 24), np.uint8)
+        padded[:5] = real
+
+        got = np.asarray(proj_masked(jnp.asarray(padded), 5, method))
+        want = np.asarray(
+            PROJ_METHODS[method](jnp.asarray(real.astype(np.float32)))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+    def test_full_stack_equals_plain(self):
+        from tmat_tpu.ops.zproj import proj_masked
+
+        rng = np.random.RandomState(0)
+        stack = (rng.rand(6, 16, 16) * 255).astype(np.uint8)
+        got = np.asarray(proj_masked(jnp.asarray(stack), 6, "max"))
+        np.testing.assert_array_equal(got, stack.max(0).astype(np.float32))

@@ -115,12 +115,23 @@ def synth_invasion_image(
         img += rim * (1 + 1.5 * lump)
 
     if not invaded and not dim_empty:
-        # debris / dead cells: dim blobs scattered UNIFORMLY over the
-        # frame (no annular structure) — overlaps the weak-invasion look
-        for _ in range(rng.randint(0, 11)):
-            by, bx = rng.uniform(0, size), rng.uniform(0, size)
+        # debris / dead cells. Half the negatives place their debris in
+        # the SAME annulus invading cells occupy (settled debris rings
+        # the spheroid in real assays) with counts overlapping the weak-
+        # invasion range — the discriminative signal is then density and
+        # morphology, not mere presence of blobs near the core.
+        annular = rng.rand() < 0.5
+        for _ in range(rng.randint(0, 13)):
+            if annular:
+                ang = rng.uniform(0, 2 * np.pi)
+                rad = r0 * rng.uniform(1.15, 2.6)
+                by, bx = cy + rad * np.sin(ang), cx + rad * np.cos(ang)
+                if not (0 <= by < size and 0 <= bx < size):
+                    continue
+            else:
+                by, bx = rng.uniform(0, size), rng.uniform(0, size)
             sig = rng.uniform(1.0, 3.0)
-            amp = brightness * rng.uniform(0.15, 0.5)
+            amp = brightness * rng.uniform(0.15, 0.6)
             img += amp * np.exp(
                 -(((yy - by) ** 2 + (xx - bx) ** 2) / (2 * sig**2))
             )
@@ -128,7 +139,7 @@ def synth_invasion_image(
     if invaded:
         # scattered migrating cells in an annulus around the core; weak
         # cases (few, faint cells) overlap the debris distribution
-        n_cells = rng.randint(4, 70)
+        n_cells = rng.randint(3, 70)
         for _ in range(n_cells):
             ang = rng.uniform(0, 2 * np.pi)
             rad = r0 * rng.uniform(1.15, 2.6)

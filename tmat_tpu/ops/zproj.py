@@ -98,3 +98,44 @@ PROJ_METHODS = {
     "avg": proj_avg,
     "fs": proj_focus_stacking,
 }
+
+
+def proj_masked(
+    stack: jax.Array, z_count, method: str, kernel_size: int = 5
+) -> jax.Array:
+    """Projection over the first ``z_count`` slices of a Z-padded stack.
+
+    Plate batches pad every well's stack to the plate-maximum Z for static
+    XLA shapes; zero padding is only neutral for the max projection of
+    unsigned data. This variant masks the padded slices so all five
+    methods (zstacks.py:134-249 numerics) are correct on ragged-Z plates:
+    min/max see +/-inf, avg divides by the true count, med takes the
+    order statistics of the valid prefix (mean of the two middles, like
+    np.median), and focus stacking excludes padded slices from the
+    sharpness argmax. ``z_count`` may be a traced scalar. Returns f32.
+    """
+    x = stack.astype(jnp.float32)
+    z = x.shape[0]
+    valid = (jnp.arange(z) < z_count)[:, None, None]
+    if method == "max":
+        return jnp.max(jnp.where(valid, x, -jnp.inf), axis=0)
+    if method == "min":
+        return jnp.min(jnp.where(valid, x, jnp.inf), axis=0)
+    if method == "avg":
+        return jnp.sum(jnp.where(valid, x, 0.0), axis=0) / z_count
+    if method == "med":
+        s = jnp.sort(jnp.where(valid, x, jnp.inf), axis=0)
+        lo = jnp.asarray((z_count - 1) // 2, jnp.int32)
+        hi = jnp.asarray(z_count // 2, jnp.int32)
+        shape = (1,) + x.shape[1:]
+        return (
+            jnp.take_along_axis(s, jnp.full(shape, lo), axis=0)[0]
+            + jnp.take_along_axis(s, jnp.full(shape, hi), axis=0)[0]
+        ) / 2.0
+    if method == "fs":
+        blurred = gaussian_blur_cv2(x, kernel_size)
+        sharpness = jnp.abs(laplacian_cv2(blurred, kernel_size))
+        sharpness = jnp.where(valid, sharpness, -jnp.inf)
+        best_z = jnp.argmax(sharpness, axis=0)
+        return jnp.take_along_axis(x, best_z[None], axis=0)[0]
+    raise ValueError(f"Unknown projection method: {method}")

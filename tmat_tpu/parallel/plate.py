@@ -126,10 +126,13 @@ def plate_stage1(
     target: Tuple[int, int],
     sd_coef,
     wm_small: Optional[jax.Array] = None,
+    proj_method: str = "max",
+    z_counts: Optional[jax.Array] = None,
 ):
     """Fused per-chunk device program for the plate pipeline.
 
-    zproj-max -> lanczos resize -> rescale -> tiled UNet segmentation,
+    zproj (any of the five methods; ``z_counts`` masks Z padding on
+    ragged plates) -> lanczos resize -> rescale -> tiled UNet segmentation,
     plus GMM threshold (area fraction only), disk(2) median filter and
     Zhang-Suen skeletonization of the thresholded prediction — ONE XLA
     program per chunk. Composes exactly the same ops as the unfused
@@ -145,14 +148,15 @@ def plate_stage1(
     """
     from tmat_tpu.ops import morphology as _morph
     from tmat_tpu.ops.resize import resize as _resize
+    from tmat_tpu.ops.zproj import proj_masked
     from tmat_tpu.topo.transforms import _median_filter_disk2_batch
 
     sharding = _data_sharding(mesh)
     use_mask = wm_small is not None
 
     def build():
-        def one(stack, wm_s, coef):
-            proj = jnp.max(stack, axis=0).astype(jnp.float32)
+        def one(stack, wm_s, coef, zc):
+            proj = proj_masked(stack, zc, proj_method)
             small = _resize(proj[None], target, "lanczos")[0]
             small = rescale_intensity(small, out_range=(0, 1))
             if use_mask:
@@ -172,8 +176,10 @@ def plate_stage1(
             pred = _tiled_core(small, pred_func, window_size, subdivisions, 1)
             return area, pred
 
-        def chunk_fn(stacks, wm_s, coef):
-            areas, preds = jax.vmap(one, in_axes=(0, 0, None))(stacks, wm_s, coef)
+        def chunk_fn(stacks, wm_s, coef, zcs):
+            areas, preds = jax.vmap(one, in_axes=(0, 0, None, 0))(
+                stacks, wm_s, coef, zcs
+            )
             seg = (preds > 0.5).astype(jnp.float32)
             filtered = _median_filter_disk2_batch(seg) > 0.5
             skels = jax.vmap(_morph.skeletonize)(filtered)
@@ -181,7 +187,7 @@ def plate_stage1(
 
         return jax.jit(
             chunk_fn,
-            in_shardings=(sharding, sharding, None),
+            in_shardings=(sharding, sharding, None, sharding),
             out_shardings=(sharding, sharding, sharding, sharding),
         )
 
@@ -194,14 +200,18 @@ def plate_stage1(
         subdivisions,
         target,
         use_mask,
+        proj_method,
     )
     fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
     if wm_small is None:
         wm_small = jnp.ones((stacks.shape[0],) + tuple(target), jnp.float32)
+    if z_counts is None:
+        z_counts = jnp.full((stacks.shape[0],), stacks.shape[1], jnp.int32)
     return fn(
         jax.device_put(stacks, sharding),
         jax.device_put(wm_small, sharding),
         jnp.float32(sd_coef),
+        jax.device_put(jnp.asarray(z_counts, jnp.int32), sharding),
     )
 
 

@@ -89,6 +89,8 @@ def run_plate(
     timer: Optional[StageTimer] = None,
     detect_well: bool = False,
     seed: int = 0,
+    proj_method: str = "max",
+    z_counts: Optional[Sequence[int]] = None,
 ) -> Dict[str, list]:
     """Process a (B, Z, H, W) plate; returns per-well results dict.
 
@@ -97,6 +99,13 @@ def run_plate(
     becomes the well pixel count, segmentation input is masked, and a
     shrunken inverted mask prunes spurious edge branches in the Morse
     stage.
+
+    ``proj_method`` is any of the five projection methods (min/max/med/
+    avg/fs); ``z_counts`` gives each well's true slice count when stacks
+    were Z-padded to a common depth — padded slices are masked out of the
+    reduction (ops/zproj.py::proj_masked), so every method is correct on
+    ragged plates. Well-boundary fitting always uses the max projection
+    (the brightest footprint), matching compute_branches' mask source.
     """
     timer = timer or StageTimer()
     mesh = mesh or make_mesh(axis_names=("data",))
@@ -105,6 +114,11 @@ def run_plate(
 
     padded, n_valid = pad_to_multiple(stacks, n_dev)
     padded_wells = padded.shape[0]
+    if z_counts is None:
+        zc_arr = np.full((padded_wells,), stacks.shape[1], np.int32)
+    else:
+        zc_arr = np.full((padded_wells,), 1, np.int32)
+        zc_arr[:n_valid] = np.asarray(z_counts, np.int32)[:n_valid]
 
     with timer.stage("device_pipeline"):
         # Fully asynchronous per-chunk dispatch: every chunk's H2D transfer
@@ -115,9 +129,9 @@ def run_plate(
         # collapsing the 5-dispatch chain into one dominates the non-UNet
         # device time. One block at the end.
         #
-        # Z is zero-padded to the plate maximum, which is only neutral for
-        # the max projection (zeros never win); stacks transfer in their
-        # native integer dtype (4x less H2D than f32 for uint8 microscopy).
+        # Stacks transfer in their native integer dtype (4x less H2D than
+        # f32 for uint8 microscopy); Z padding is masked per well inside
+        # the fused program via zc_arr.
         from tmat_tpu.parallel.plate import _data_sharding, plate_stage1, plate_stage2
 
         sharding = _data_sharding(mesh)
@@ -232,6 +246,8 @@ def run_plate(
                     target,
                     sd_coef,
                     wm,
+                    proj_method=proj_method,
+                    z_counts=zc_arr[idx : idx + dc.shape[0]],
                 )
                 futures.append(
                     pool.submit(
@@ -265,6 +281,13 @@ def main(argv=None):
     p.add_argument("--model-cfg", type=str, default=None)
     p.add_argument("--sd-coef", type=float, default=0.0)
     p.add_argument("-w", "--detect-well", action="store_true")
+    p.add_argument(
+        "-m",
+        "--method",
+        choices=("min", "max", "med", "avg", "fs"),
+        default="max",
+        help="Z-projection method (compute_zproj.py:26-32 dispatch table).",
+    )
     args = p.parse_args(argv)
 
     from tmat_tpu.tools import args as su
@@ -289,8 +312,10 @@ def main(argv=None):
     max_w = max(s.shape[2] for s in stacks)
     plate_dtype = np.result_type(*[s.dtype for s in stacks])
     plate = np.zeros((len(stacks), max_z, max_h, max_w), plate_dtype)
+    z_counts = []
     for i, s in enumerate(stacks):
         plate[i, : s.shape[0], : s.shape[1], : s.shape[2]] = s
+        z_counts.append(s.shape[0])
 
     model_cfg = args.model_cfg
     if not model_cfg:
@@ -311,6 +336,8 @@ def main(argv=None):
         config,
         sd_coef=args.sd_coef,
         detect_well=args.detect_well,
+        proj_method=args.method,
+        z_counts=z_counts,
     )
     elapsed = time.perf_counter() - start
     timer = results.pop("_timer")
