@@ -1,0 +1,57 @@
+"""One-dir bundle builder (packaging.py; parity gui/pyinstaller_build.spec)."""
+
+import os
+import stat
+import subprocess
+import sys
+
+import pytest
+
+from tmat_tpu.packaging import build_bundle
+
+
+def test_bundle_layout_and_launch(tmp_path):
+    out = build_bundle(tmp_path / "app")
+
+    # datas mirrored from the spec: package, configs, model artifacts
+    assert (out / "tmat_tpu" / "cli.py").is_file()
+    assert (out / "config" / "default_branching_computation.json").is_file()
+    assert (
+        out
+        / "model_training"
+        / "binary_segmentation"
+        / "checkpoints"
+        / "checkpoint_1.msgpack"
+    ).is_file()
+    assert (
+        out / "model_training" / "best_ensemble" / "best_finetune_weights_0.msgpack"
+    ).is_file()
+    for name in ("tmat", "tmat-gui"):
+        st = (out / name).stat()
+        assert st.st_mode & stat.S_IXUSR
+
+    # no compiled artifacts or user config leak into the bundle
+    assert not list(out.rglob("*.so"))
+    assert not (out / "tmat_tpu" / "package.cfg").exists()
+
+    # the CLI launcher runs from the bundle (help path only: no jax work)
+    env = dict(os.environ)
+    env["TMAT_TPU_PYTHON"] = sys.executable
+    env["TMAT_TPU_BASE_DIR"] = str(tmp_path / "base")
+    proc = subprocess.run(
+        [str(out / "tmat"), "--help"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+        cwd=tmp_path,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "compute_branches" in proc.stdout
+
+
+def test_bundle_refuses_overwrite(tmp_path):
+    build_bundle(tmp_path / "app")
+    with pytest.raises(FileExistsError):
+        build_bundle(tmp_path / "app")
+    build_bundle(tmp_path / "app", force=True)
