@@ -125,6 +125,36 @@ class TestImageIO:
         dims = tio.get_image_dims(str(path))
         assert (dims.T, dims.C, dims.Z, dims.Y, dims.X) == (1, 1, 4, 8, 9)
 
+    def test_probe_image_dims_matches_full_decode(self, tmp_path, rng):
+        """Header-only probe must agree with the decoding path on plain
+        stacks, hyperstacks, and single images (io.py::probe_image_dims)."""
+        cases = []
+        stack = rng.randint(0, 255, size=(4, 8, 9)).astype(np.uint8)
+        frames = [Image.fromarray(s) for s in stack]
+        p1 = tmp_path / "plain.tif"
+        frames[0].save(p1, save_all=True, append_images=frames[1:])
+        cases.append(p1)
+
+        pages = rng.randint(0, 255, size=(6, 8, 8)).astype(np.uint8)
+        frames = [Image.fromarray(x) for x in pages]
+        desc = "ImageJ=1.53\nimages=6\nchannels=2\nslices=3\nframes=1\n"
+        p2 = tmp_path / "hyper.tif"
+        frames[0].save(
+            p2, save_all=True, append_images=frames[1:], tiffinfo={270: desc}
+        )
+        cases.append(p2)
+
+        p3 = tmp_path / "single.png"
+        Image.fromarray(stack[0]).save(p3)
+        cases.append(p3)
+
+        for path in cases:
+            probe = tio.probe_image_dims(str(path))
+            full = tio.get_image_dims(str(path))
+            assert probe == full, path
+
+        assert tio.probe_image_dims(str(tmp_path / "nope.xyz")) is None
+
     def test_save_image_float_tiff_roundtrip(self, tmp_path, rng):
         arr = rng.rand(8, 8).astype(np.float32)
         path = tmp_path / "f.tiff"

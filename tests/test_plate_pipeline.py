@@ -153,3 +153,69 @@ def test_run_plate_ragged_z_methods(tiny_segmentor, rng):
     got = np.asarray(proj_masked(jnp.asarray(plate[3]), 2, "min"))
     want = plate[3, :2].min(0)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_streaming_matches_buffered(tiny_segmentor, rng):
+    """run_plate_streaming must produce identical results to run_plate on
+    the same wells (including a ragged-Z tail well on a padded chunk)."""
+    plate = _plate(n_wells=3, z=3, rng=rng)
+    plate[2, 2] = 0.0
+    z_counts = [3, 3, 2]
+    ids = ["A", "B", "C"]
+    cfg = {"image_width_microns": 800.0}
+
+    buffered = plate_pipeline.run_plate(
+        plate.astype(np.uint8),
+        ids,
+        tiny_segmentor,
+        cfg,
+        sd_coef=-2.0,
+        z_counts=z_counts,
+    )
+    buffered.pop("_timer")
+
+    def wells():
+        for i, wid in enumerate(ids):
+            yield wid, plate[i, : z_counts[i]].astype(np.uint8)
+
+    streamed = plate_pipeline.run_plate_streaming(
+        wells(),
+        3,
+        plate.shape[1:],
+        tiny_segmentor,
+        cfg,
+        plate_dtype=np.uint8,
+        sd_coef=-2.0,
+    )
+    streamed.pop("_timer")
+    assert streamed == buffered
+
+
+def test_probe_plate_geometry(tmp_path, rng):
+    from PIL import Image as PILImage
+
+    # uniform uint8 sequence wells -> streaming geometry
+    d1 = tmp_path / "w1"
+    d1.mkdir()
+    for z in range(3):
+        PILImage.fromarray(
+            rng.randint(0, 255, (16, 18)).astype(np.uint8)
+        ).save(d1 / f"s_z{z}.tif")
+    paths = {"w1": sorted(str(p) for p in d1.glob("*.tif"))}
+    geo = plate_pipeline._probe_plate_geometry(paths)
+    assert geo is not None
+    assert geo[:3] == (3, 16, 18) and geo[3] == np.uint8
+
+    # a multi-channel hyperstack forces the buffered fallback
+    pages = [
+        PILImage.fromarray(rng.randint(0, 255, (8, 8)).astype(np.uint8))
+        for _ in range(6)
+    ]
+    desc = "ImageJ=1.53\nimages=6\nchannels=2\nslices=3\nframes=1\n"
+    hyper = tmp_path / "hyper.tif"
+    pages[0].save(
+        hyper, save_all=True, append_images=pages[1:], tiffinfo={270: desc}
+    )
+    assert (
+        plate_pipeline._probe_plate_geometry({"h": str(hyper)}) is None
+    )

@@ -260,6 +260,41 @@ def get_image_dims(file_path: str) -> ImageDims:
     return dims
 
 
+def probe_image_dims(file_path: str) -> Optional[ImageDims]:
+    """Header-only TCZYX dims: page count + ImageJ metadata, NO pixel
+    decode (PIL's n_frames walks TIFF IFDs without decompressing). Used by
+    streaming plate loaders to size the padded batch before any well is
+    decoded. Returns None when dims need a full decode (ND2, unreadable
+    headers) — callers fall back to get_image_dims.
+    """
+    file_path = str(file_path)
+    ext = Path(file_path).suffix.lower().lstrip(".")
+    if ext not in ("tif", "tiff", "png", "jpg", "jpeg"):
+        return None
+    try:
+        with Image.open(file_path) as img:
+            n_pages = getattr(img, "n_frames", 1)
+            desc = ""
+            if hasattr(img, "tag_v2"):
+                desc = img.tag_v2.get(270, "") or ""
+            meta = _parse_imagej_description(str(desc))
+            height, width = img.height, img.width
+            samples = len(img.getbands())
+    except (OSError, ValueError):
+        return None
+
+    # same dim arithmetic as _load_single_file (pages are XYCZT-ordered)
+    total_pages = n_pages * samples
+    n_c = int(meta.get("channels", samples) or 1)
+    n_z = int(meta.get("slices", 0) or 0)
+    n_t = int(meta.get("frames", 1) or 1)
+    if n_z == 0:
+        n_z = max(total_pages // max(n_c * n_t, 1), 1)
+    if n_c * n_z * n_t != total_pages:
+        n_c, n_t, n_z = 1, 1, total_pages
+    return ImageDims(T=n_t, C=n_c, Z=n_z, Y=height, X=width)
+
+
 def save_image(file_path: Union[str, Path], img: np.ndarray) -> None:
     """Save a 2-D image, preserving dtype semantics like cv2.imwrite.
 

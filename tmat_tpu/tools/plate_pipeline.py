@@ -79,6 +79,44 @@ def _analyze_well_graph(
     )
 
 
+def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
+    """Host tail of one chunk: component filter -> stage2 -> Morse stats.
+
+    Runs in a pool thread; np.asarray blocks on this chunk's device
+    outputs only, so chunk i's host work streams under chunk i+1..n's
+    device compute.
+    """
+    from tmat_tpu.parallel.plate import plate_stage2
+
+    a, p, f, s = chunk_arrays
+    with timer.stage("postprocess"):
+        f_np = np.asarray(f)
+        s_np = np.asarray(s)
+        # component filtering needs labels -> host. The centerline
+        # skeleton of the FILTERED masks equals the precomputed skeleton
+        # restricted to surviving pixels (component filtering removes
+        # whole 8-connected components and thinning is component-local) —
+        # stage2 applies the restriction on device; no second thinning.
+        masks = np.stack(
+            [
+                filter_branch_seg_mask(
+                    f_np[j].astype(np.uint8),
+                    footprint=None,
+                    precomputed_skeleton=s_np[j],
+                )
+                > 0
+                for j in range(f_np.shape[0])
+            ]
+        )
+        p384 = np.asarray(plate_stage2(mesh, p, jnp.asarray(masks), s, dsamp))
+    with timer.stage("morse_graphs"):
+        stats = [
+            _analyze_well_graph(p384[j], config, dsamp[1], pruning_chunk[j])
+            for j in range(p384.shape[0])
+        ]
+    return np.asarray(a), stats
+
+
 def run_plate(
     stacks: np.ndarray,
     well_ids: Sequence[str],
@@ -186,44 +224,6 @@ def run_plate(
             )
             pruning_masks = [pruning[i] for i in range(pruning.shape[0])]
 
-        def _finish_chunk(chunk_arrays, pruning_chunk):
-            """Host tail of one chunk: component filter -> stage2 ->
-            Morse stats. Runs in a pool thread; np.asarray blocks on this
-            chunk's device outputs only, so chunk i's host work streams
-            under chunk i+1..n's device compute."""
-            a, p, f, s = chunk_arrays
-            with timer.stage("postprocess"):
-                f_np = np.asarray(f)
-                s_np = np.asarray(s)
-                # component filtering needs labels -> host. The centerline
-                # skeleton of the FILTERED masks equals the precomputed
-                # skeleton restricted to surviving pixels (component
-                # filtering removes whole 8-connected components and
-                # thinning is component-local) — stage2 applies the
-                # restriction on device; no second thinning pass.
-                masks = np.stack(
-                    [
-                        filter_branch_seg_mask(
-                            f_np[j].astype(np.uint8),
-                            footprint=None,
-                            precomputed_skeleton=s_np[j],
-                        )
-                        > 0
-                        for j in range(f_np.shape[0])
-                    ]
-                )
-                p384 = np.asarray(
-                    plate_stage2(mesh, p, jnp.asarray(masks), s, dsamp)
-                )
-            with timer.stage("morse_graphs"):
-                stats = [
-                    _analyze_well_graph(
-                        p384[j], config, dsamp[1], pruning_chunk[j]
-                    )
-                    for j in range(p384.shape[0])
-                ]
-            return np.asarray(a), stats
-
         futures = []
         idx = 0
         with ThreadPoolExecutor(max_workers=8) as pool:
@@ -254,6 +254,10 @@ def run_plate(
                         _finish_chunk,
                         outs,
                         pruning_masks[idx : idx + dc.shape[0]],
+                        mesh,
+                        dsamp,
+                        config,
+                        timer,
                     )
                 )
                 idx += dc.shape[0]
@@ -271,6 +275,213 @@ def run_plate(
     }
     results["_timer"] = timer
     return results
+
+
+def run_plate_streaming(
+    wells,
+    n_wells: int,
+    plate_zhw,
+    segmentor,
+    config: dict,
+    plate_dtype=np.uint8,
+    mesh=None,
+    sd_coef: float = 0.0,
+    timer: Optional[StageTimer] = None,
+    detect_well: bool = False,
+    seed: int = 0,
+    proj_method: str = "max",
+    prefetch: int = 3,
+) -> Dict[str, list]:
+    """run_plate without materializing the plate in host memory.
+
+    ``wells`` is an iterator of (well_id, (Z, H, W) ndarray); wells are
+    decoded by the caller's iterator (typically a prefetching loader) and
+    consumed chunk-by-chunk, so disk decode of well i+k overlaps device
+    compute of well i — on a 96-well plate the round-1 pipeline spent 31s
+    loading before the first dispatch. ``plate_zhw`` is the padded
+    per-well geometry (from core.io.probe_image_dims header probes).
+    ``prefetch`` bounds how many chunks may be buffered ahead.
+
+    detect_well fits each chunk's well boundary as the chunk streams (an
+    extra max-projection program per chunk) instead of run_plate's
+    whole-plate pre-pass; results are identical per well.
+    """
+    import queue as queue_mod
+    import threading
+
+    timer = timer or StageTimer()
+    mesh = mesh or make_mesh(axis_names=("data",))
+    n_dev = mesh.devices.size
+    z_max, h_max, w_max = (int(v) for v in plate_zhw)
+
+    from tmat_tpu.parallel.plate import _data_sharding, plate_stage1
+
+    sharding = _data_sharding(mesh)
+    ds_ratio = segmentor.ds_ratio
+    target = tuple(int(v) for v in np.round(np.multiply((h_max, w_max), ds_ratio)))
+    dsamp = tuple(
+        int(v) for v in np.round(np.multiply(target, DOWNSAMPLE_WIDTH / target[-1]))
+    )
+
+    chunk_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, prefetch))
+
+    def producer():
+        try:
+            ids, buf, zcs = [], [], []
+
+            def flush():
+                while len(buf) < n_dev:  # pad the tail chunk
+                    buf.append(np.zeros((z_max, h_max, w_max), plate_dtype))
+                    zcs.append(1)
+                chunk_q.put((list(ids), np.stack(buf), np.asarray(zcs, np.int32)))
+                ids.clear(), buf.clear(), zcs.clear()
+
+            for wid, stack in wells:
+                arr = np.zeros((z_max, h_max, w_max), plate_dtype)
+                arr[: stack.shape[0], : stack.shape[1], : stack.shape[2]] = stack
+                ids.append(wid)
+                buf.append(arr)
+                zcs.append(stack.shape[0])
+                if len(buf) == n_dev:
+                    flush()
+            if buf:
+                flush()
+            chunk_q.put(None)
+        except BaseException as exc:  # surface loader failures to consumer
+            chunk_q.put(exc)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    well_ids: list = []
+    finished = []
+    with timer.stage("device_pipeline"):
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futures = []
+            while True:
+                item = chunk_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                ids, chunk_np, zcs = item
+                well_ids.extend(ids)
+                dc = jax.device_put(chunk_np, sharding)
+
+                wm = None
+                pruning_chunk = [None] * n_dev
+                if detect_well:
+                    from tmat_tpu.tools.compute_branches import make_well_mask
+
+                    proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
+                    small_np = np.asarray(resize(proj, target, "lanczos"))
+                    pairs = [
+                        make_well_mask(small_np[i], seed=seed)
+                        for i in range(small_np.shape[0])
+                    ]
+                    wm = jnp.asarray(
+                        np.stack([m for m, _ in pairs]).astype(np.float32)
+                    )
+                    shr = np.stack([s for _, s in pairs])
+                    pruning = np.asarray(
+                        resize(jnp.asarray(~shr, jnp.float32), dsamp, "nearest")
+                        > 0
+                    )
+                    pruning_chunk = [pruning[i] for i in range(pruning.shape[0])]
+
+                outs = plate_stage1(
+                    mesh,
+                    dc,
+                    segmentor._pred_fn,
+                    segmentor.patch_size,
+                    2,
+                    target,
+                    sd_coef,
+                    wm,
+                    proj_method=proj_method,
+                    z_counts=zcs,
+                )
+                futures.append(
+                    pool.submit(
+                        _finish_chunk, outs, pruning_chunk, mesh, dsamp, config, timer
+                    )
+                )
+            finished = [f.result() for f in futures]
+
+    areas = np.concatenate([a for a, _ in finished]) if finished else np.zeros(0)
+    graph_stats = [st for _, stats in finished for st in stats][:n_wells]
+
+    results = {
+        "well_id": well_ids[:n_wells],
+        "area_pct": [float(a) * 100 for a in areas[:n_wells]],
+        "total_branches": [g[0] for g in graph_stats],
+        "total_branch_length_um": [g[1] for g in graph_stats],
+        "avg_branch_length_um": [g[2] for g in graph_stats],
+    }
+    results["_timer"] = timer
+    return results
+
+
+_PIL_MODE_DTYPES = {
+    "L": np.uint8,
+    "P": np.uint8,
+    "RGB": np.uint8,
+    "RGBA": np.uint8,
+    "I;16": np.uint16,
+    "I;16B": np.uint16,
+    "I": np.int32,
+    "F": np.float32,
+}
+
+
+def _probe_plate_geometry(img_paths):
+    """(max_z, max_h, max_w, dtype) from header-only probes, or None.
+
+    None means some well needs a full decode to know its dims (ND2,
+    multi-channel/time files that need slicing, unreadable headers) —
+    callers fall back to the buffered load path.
+    """
+    from PIL import Image
+
+    max_z = max_h = max_w = 0
+    dtypes = []
+    for files in img_paths.values():
+        if isinstance(files, (list, tuple)):
+            d = tio.probe_image_dims(files[0])
+            if d is None or d.T > 1 or d.C > 1 or d.Z > 1:
+                return None
+            z, h, w = len(files), d.Y, d.X
+            probe_file = files[0]
+        else:
+            d = tio.probe_image_dims(files)
+            if d is None or d.T > 1 or d.C > 1:
+                return None
+            z, h, w = d.Z, d.Y, d.X
+            probe_file = files
+        try:
+            with Image.open(probe_file) as im:
+                dtype = _PIL_MODE_DTYPES.get(im.mode)
+        except OSError:
+            return None
+        if dtype is None:
+            return None
+        dtypes.append(dtype)
+        max_z, max_h, max_w = max(max_z, z), max(max_h, h), max(max_w, w)
+    return max_z, max_h, max_w, np.result_type(*dtypes)
+
+
+def _well_loader(img_paths, decode_workers: int = 4):
+    """Yield (well_id, ZYX stack) with decodes prefetched on a thread pool."""
+
+    def _load(files):
+        img, _ = tio.load_image(files)
+        if img.ndim == 2:
+            img = img[None]
+        return img
+
+    with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        futures = [(wid, pool.submit(_load, f)) for wid, f in img_paths.items()]
+        for wid, fut in futures:
+            yield wid, fut.result()
 
 
 def main(argv=None):
@@ -298,24 +509,10 @@ def main(argv=None):
 
     section_header("Loading plate")
     well_ids = list(img_paths)
-    stacks = []
-    for wid in well_ids:
-        img, _ = tio.load_image(img_paths[wid])
-        if img.ndim == 2:
-            img = img[None]
-        stacks.append(img)
-    # bucket-and-pad Z and XY to the plate maximum (static shapes for XLA),
-    # in the stacks' native dtype so the H2D transfer stays small (uint8
-    # microscopy moves 4x fewer bytes than float32)
-    max_z = max(s.shape[0] for s in stacks)
-    max_h = max(s.shape[1] for s in stacks)
-    max_w = max(s.shape[2] for s in stacks)
-    plate_dtype = np.result_type(*[s.dtype for s in stacks])
-    plate = np.zeros((len(stacks), max_z, max_h, max_w), plate_dtype)
-    z_counts = []
-    for i, s in enumerate(stacks):
-        plate[i, : s.shape[0], : s.shape[1], : s.shape[2]] = s
-        z_counts.append(s.shape[0])
+    # header-only geometry probes: when every well's dims are readable
+    # without decoding pixels, the plate streams (decode overlaps device
+    # compute); otherwise fall back to the buffered load
+    plate_zhw = _probe_plate_geometry(img_paths)
 
     model_cfg = args.model_cfg
     if not model_cfg:
@@ -329,16 +526,45 @@ def main(argv=None):
 
     section_header("Processing plate")
     start = time.perf_counter()
-    results = run_plate(
-        plate,
-        well_ids,
-        segmentor,
-        config,
-        sd_coef=args.sd_coef,
-        detect_well=args.detect_well,
-        proj_method=args.method,
-        z_counts=z_counts,
-    )
+    if plate_zhw is not None:
+        results = run_plate_streaming(
+            _well_loader(img_paths),
+            len(well_ids),
+            plate_zhw[:3],
+            segmentor,
+            config,
+            plate_dtype=plate_zhw[3],
+            sd_coef=args.sd_coef,
+            detect_well=args.detect_well,
+            proj_method=args.method,
+        )
+    else:
+        # buffered fallback: decode everything, pad to the plate maximum
+        stacks = []
+        for wid in well_ids:
+            img, _ = tio.load_image(img_paths[wid])
+            if img.ndim == 2:
+                img = img[None]
+            stacks.append(img)
+        max_z = max(s.shape[0] for s in stacks)
+        max_h = max(s.shape[1] for s in stacks)
+        max_w = max(s.shape[2] for s in stacks)
+        plate_dtype = np.result_type(*[s.dtype for s in stacks])
+        plate = np.zeros((len(stacks), max_z, max_h, max_w), plate_dtype)
+        z_counts = []
+        for i, s in enumerate(stacks):
+            plate[i, : s.shape[0], : s.shape[1], : s.shape[2]] = s
+            z_counts.append(s.shape[0])
+        results = run_plate(
+            plate,
+            well_ids,
+            segmentor,
+            config,
+            sd_coef=args.sd_coef,
+            detect_well=args.detect_well,
+            proj_method=args.method,
+            z_counts=z_counts,
+        )
     elapsed = time.perf_counter() - start
     timer = results.pop("_timer")
     print(timer.report(), flush=True)
