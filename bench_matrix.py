@@ -143,6 +143,47 @@ def bench_inv_depth(rng):
     )
 
 
+def bench_branches_3d(rng):
+    """3-D Sato path of compute_branches (vesselness + postprocess +
+    native Morse, --no-vis fast path), one (8, 512, 512) z-stack."""
+    import shutil
+    import tempfile
+
+    from PIL import Image
+
+    from tmat_tpu.tools import compute_branches as cb
+
+    z, hw = 8, 512
+    stack = (rng.rand(z, hw, hw) * 20).astype(np.uint8)
+    rr, cc = np.mgrid[0:hw, 0:hw]
+    for k in range(3):
+        ring = np.abs(np.sqrt((rr - hw / 2) ** 2 + (cc - hw / 2) ** 2) - (60 + 60 * k)) < 3
+        stack[z // 2][ring] = 200
+    stack[z // 2, hw // 2 - 2 : hw // 2 + 2, 40:-40] = 180
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench3d_"))
+    try:
+        frames = [Image.fromarray(s) for s in stack]
+        path = tmp / "stack.tif"
+        frames[0].save(path, save_all=True, append_images=frames[1:])
+        (tmp / "out").mkdir()
+        config = {"image_width_microns": 1000.0, "save_vis": False}
+
+        def run():
+            cb.analyze_img(
+                "bench", str(path), None, tmp / "out", config, set()
+            )
+
+        dt = _timeit(run, repeats=3)
+        _emit(
+            "branches_3d",
+            1.0 / dt,
+            "stacks/sec (Sato 10 scales + canny/medial/expand + native Morse, 8x512px)",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_plate(n_wells=6, dtype=None, emit_branches=True):
     import bench as headline
 
@@ -202,6 +243,8 @@ def main():
         bench_cell_area(rng)
     if "inv_depth" not in args.skip:
         bench_inv_depth(rng)
+    if "branches_3d" not in args.skip:
+        bench_branches_3d(rng)
     if "plate" not in args.skip:
         bench_plate()
 
