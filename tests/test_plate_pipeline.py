@@ -191,6 +191,38 @@ def test_streaming_matches_buffered(tiny_segmentor, rng):
     assert streamed == buffered
 
 
+def test_streaming_matches_buffered_detect_well(tiny_segmentor, rng):
+    """-w in streaming mode (per-chunk mask fitting) must equal the
+    array-entry path per well."""
+    hw = 96
+    plate = _plate(n_wells=2, hw=hw, rng=rng)
+    rr, cc = np.mgrid[0:hw, 0:hw]
+    inside = (rr - hw / 2) ** 2 + (cc - hw / 2) ** 2 <= (0.45 * hw) ** 2
+    plate[:, :, ~inside] = 5.0
+    plate[:, :, inside] += 60.0
+    plate = plate.astype(np.uint8)
+    cfg = {"image_width_microns": 800.0}
+    ids = ["W0", "W1"]
+
+    buffered = plate_pipeline.run_plate(
+        plate, ids, tiny_segmentor, cfg, sd_coef=-2.0, detect_well=True
+    )
+    buffered.pop("_timer")
+
+    streamed = plate_pipeline.run_plate_streaming(
+        ((wid, plate[i]) for i, wid in enumerate(ids)),
+        2,
+        plate.shape[1:],
+        tiny_segmentor,
+        cfg,
+        plate_dtype=np.uint8,
+        sd_coef=-2.0,
+        detect_well=True,
+    )
+    streamed.pop("_timer")
+    assert streamed == buffered
+
+
 def test_probe_plate_geometry(tmp_path, rng):
     from PIL import Image as PILImage
 
@@ -219,3 +251,18 @@ def test_probe_plate_geometry(tmp_path, rng):
     assert (
         plate_pipeline._probe_plate_geometry({"h": str(hyper)}) is None
     )
+
+    # mixed-dtype slice sequences must widen the batch dtype (every
+    # file's mode is probed, not just the first)
+    d2 = tmp_path / "w2"
+    d2.mkdir()
+    PILImage.fromarray(rng.randint(0, 255, (16, 18)).astype(np.uint8)).save(
+        d2 / "s_z0.tif"
+    )
+    PILImage.fromarray(
+        rng.randint(0, 60000, (16, 18)).astype(np.uint16)
+    ).save(d2 / "s_z1.tif")
+    geo = plate_pipeline._probe_plate_geometry(
+        {"w2": sorted(str(p) for p in d2.glob("*.tif"))}
+    )
+    assert geo is not None and geo[3] == np.uint16

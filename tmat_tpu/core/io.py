@@ -117,6 +117,25 @@ def _read_pages(img: Image.Image) -> np.ndarray:
     return np.stack(pages) if len(pages) > 1 else pages[0][None]
 
 
+def _dims_from_pages(total_pages: int, samples: int, meta: dict) -> Tuple[int, int, int]:
+    """(T, C, Z) from a page count + ImageJ metadata.
+
+    Single source of truth for the hyperstack arithmetic: the decoding
+    path (_load_single_file) and the header-only probe (probe_image_dims)
+    must agree or streaming plate loaders would size batches wrong. Page
+    order in ImageJ files is XYCZT: page_index = t * (Z*C) + z * C + c.
+    """
+    n_c = int(meta.get("channels", samples) or 1)
+    n_z = int(meta.get("slices", 0) or 0)
+    n_t = int(meta.get("frames", 1) or 1)
+    if n_z == 0:
+        n_z = max(total_pages // max(n_c * n_t, 1), 1)
+    if n_c * n_z * n_t != total_pages:
+        # Metadata doesn't add up; fall back to pages-as-Z.
+        n_c, n_t, n_z = 1, 1, total_pages
+    return n_t, n_c, n_z
+
+
 def _load_nd2(file_path: str) -> Tuple[np.ndarray, PhysicalPixelSizes, ImageDims]:
     """Load a Nikon .nd2 Z stack (helper.py:23-95 via aicsimageio[nd2]).
 
@@ -189,18 +208,7 @@ def _load_single_file(file_path: str) -> Tuple[np.ndarray, PhysicalPixelSizes, I
     else:
         n_channels_from_color = 1
 
-    n_pages = len(pages)
-    # ImageJ hyperstack dims; page order in ImageJ files is XYCZT:
-    # page_index = t * (Z*C) + z * C + c
-    n_c = int(meta.get("channels", n_channels_from_color) or 1)
-    n_z = int(meta.get("slices", 0) or 0)
-    n_t = int(meta.get("frames", 1) or 1)
-    if n_z == 0:
-        n_z = max(n_pages // max(n_c * n_t, 1), 1)
-    if n_c * n_z * n_t != n_pages:
-        # Metadata doesn't add up; fall back to pages-as-Z.
-        n_c, n_t, n_z = 1, 1, n_pages
-
+    n_t, n_c, n_z = _dims_from_pages(len(pages), n_channels_from_color, meta)
     height, width = pages.shape[-2:]
     tczyx = pages.reshape(n_t, n_z, n_c, height, width).transpose(0, 2, 1, 3, 4)
     dims = ImageDims(T=n_t, C=n_c, Z=n_z, Y=height, X=width)
@@ -283,15 +291,7 @@ def probe_image_dims(file_path: str) -> Optional[ImageDims]:
     except (OSError, ValueError):
         return None
 
-    # same dim arithmetic as _load_single_file (pages are XYCZT-ordered)
-    total_pages = n_pages * samples
-    n_c = int(meta.get("channels", samples) or 1)
-    n_z = int(meta.get("slices", 0) or 0)
-    n_t = int(meta.get("frames", 1) or 1)
-    if n_z == 0:
-        n_z = max(total_pages // max(n_c * n_t, 1), 1)
-    if n_c * n_z * n_t != total_pages:
-        n_c, n_t, n_z = 1, 1, total_pages
+    n_t, n_c, n_z = _dims_from_pages(n_pages * samples, samples, meta)
     return ImageDims(T=n_t, C=n_c, Z=n_z, Y=height, X=width)
 
 

@@ -138,8 +138,12 @@ def synth_invasion_image(
 
     if invaded:
         # scattered migrating cells in an annulus around the core; weak
-        # cases (few, faint cells) overlap the debris distribution
-        n_cells = rng.randint(3, 70)
+        # cases (few, faint cells) overlap the debris distribution, and
+        # ~10% of invaded slices show NO cells at all (the invasion front
+        # sits outside this focal plane) — irreducible label ambiguity,
+        # so a perfect val score is unattainable by construction and the
+        # tracked val_acc is a meaningful quality metric
+        n_cells = 0 if rng.rand() < 0.1 else rng.randint(3, 70)
         for _ in range(n_cells):
             ang = rng.uniform(0, 2 * np.pi)
             rad = r0 * rng.uniform(1.15, 2.6)
@@ -151,8 +155,9 @@ def synth_invasion_image(
             img += amp * np.exp(
                 -(((yy - by) ** 2 + (xx - bx) ** 2) / (2 * sig**2))
             )
-        # radial strands (collective invasion fronts); sometimes absent
-        for _ in range(rng.randint(0, 9)):
+        # radial strands (collective invasion fronts); sometimes absent,
+        # always absent on out-of-focal-plane slices (n_cells == 0)
+        for _ in range(rng.randint(0, 9) if n_cells else 0):
             ang = rng.uniform(0, 2 * np.pi)
             steps = rng.randint(15, 40)
             py, px = cy + r0 * 0.9 * np.sin(ang), cx + r0 * 0.9 * np.cos(ang)

@@ -160,21 +160,28 @@ class PredFuncJitCache:
     """
 
     def __init__(self):
+        import threading
+
         self._by_func = weakref.WeakKeyDictionary()
+        # concurrent chunk tasks (plate streaming) may race get_or_build;
+        # without the lock both would build distinct jit wrappers and pay
+        # two remote XLA compiles for the same program
+        self._lock = threading.Lock()
 
     def get_or_build(self, pred_func, key, build: Callable[[], Callable]):
-        try:
-            sub = self._by_func.get(pred_func)
-            if sub is None:
-                sub = {}
-                self._by_func[pred_func] = sub
-        except TypeError:
-            return build()
-        fn = sub.get(key)
-        if fn is None:
-            fn = build()
-            sub[key] = fn
-        return fn
+        with self._lock:
+            try:
+                sub = self._by_func.get(pred_func)
+                if sub is None:
+                    sub = {}
+                    self._by_func[pred_func] = sub
+            except TypeError:
+                return build()
+            fn = sub.get(key)
+            if fn is None:
+                fn = build()
+                sub[key] = fn
+            return fn
 
 
 _JIT_CACHE = PredFuncJitCache()

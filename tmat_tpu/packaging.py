@@ -34,10 +34,13 @@ from tmat_tpu.core import defs
 
 _LAUNCHER = """#!/usr/bin/env bash
 # Relocatable launcher: run the bundled tmat_tpu with the host's Python.
+# The bundle path travels via the environment, never spliced into code —
+# paths with quotes/spaces stay paths instead of becoming Python syntax.
 HERE="$(cd "$(dirname "${{BASH_SOURCE[0]}}")" && pwd)"
-exec "${{TMAT_TPU_PYTHON:-python3}}" -c "
+TMAT_TPU_BUNDLE_DIR="$HERE" exec "${{TMAT_TPU_PYTHON:-python3}}" -c "
+import os
 import sys
-sys.path.insert(0, '$HERE')
+sys.path.insert(0, os.environ['TMAT_TPU_BUNDLE_DIR'])
 from {module} import main
 sys.exit(main() or 0)
 " "$@"

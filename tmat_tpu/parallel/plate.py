@@ -24,7 +24,10 @@ from tmat_tpu.ops.threshold import exec_threshold
 from tmat_tpu.ops.tiled import PredFuncJitCache, _tiled_core
 from tmat_tpu.ops.zproj import _focus_stack_zhw
 
+import threading as _threading
+
 _JIT_CACHE: Dict[Tuple, Callable] = {}
+_JIT_CACHE_LOCK = _threading.Lock()
 # pred_func-closing programs live in a weakref-keyed cache (see
 # PredFuncJitCache: id()-keyed entries can outlive their predictor)
 _SEGMENT_CACHE = PredFuncJitCache()
@@ -35,11 +38,14 @@ def _data_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _cached(key: Tuple, build: Callable[[], Callable]) -> Callable:
-    fn = _JIT_CACHE.get(key)
-    if fn is None:
-        fn = build()
-        _JIT_CACHE[key] = fn
-    return fn
+    # locked: plate streaming dispatches chunks from pool threads, and a
+    # build race would pay a duplicate remote XLA compile
+    with _JIT_CACHE_LOCK:
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = build()
+            _JIT_CACHE[key] = fn
+        return fn
 
 
 def plate_zproj(mesh: Mesh, stacks: jax.Array, method: str = "max") -> jax.Array:

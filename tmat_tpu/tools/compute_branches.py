@@ -44,7 +44,6 @@ from tmat_tpu.topo.morse import MorseGraph
 from tmat_tpu.topo.transforms import filter_branch_seg_mask
 from tmat_tpu.tools import args as su
 
-from networkx.exception import NetworkXPointlessConcept
 
 DEFAULT_CONFIG_NAME = "default_branching_computation.json"
 DOWNSAMPLE_WIDTH = 384
@@ -372,11 +371,11 @@ def analyze_img(
             native_stats = morse_stats_native(scaled_img, **morse_kwargs)
 
         if native_stats is None:
-            try:
-                morse_graph = MorseGraph(scaled_img, **morse_kwargs)
-            except NetworkXPointlessConcept:
-                print(f"No branches found for {img_id}.", flush=True)
-                return
+            # an empty Morse graph flows through with 0 branches on both
+            # engines (topo/morse.py:298-301); no exception path exists,
+            # unlike the reference's NetworkXPointlessConcept skip
+            # (compute_branches.py:417-429)
+            morse_graph = MorseGraph(scaled_img, **morse_kwargs)
 
         # Barcode + Morse tree visualizations (compute_branches.py:431-450)
         if vis:

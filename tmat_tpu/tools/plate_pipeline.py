@@ -34,7 +34,7 @@ from tmat_tpu.core.log import SFM, section_footer, section_header
 from tmat_tpu.core.profiling import StageTimer
 from tmat_tpu.models.unet import get_unet_patch_segmentor_from_cfg
 from tmat_tpu.ops.resize import resize
-from tmat_tpu.parallel.mesh import make_mesh, pad_to_multiple
+from tmat_tpu.parallel.mesh import make_mesh
 from tmat_tpu.parallel.plate import plate_zproj
 from tmat_tpu.topo.morse import MorseGraph
 from tmat_tpu.topo.morse_native import morse_stats_native
@@ -117,6 +117,7 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
     return np.asarray(a), stats
 
 
+
 def run_plate(
     stacks: np.ndarray,
     well_ids: Sequence[str],
@@ -130,7 +131,11 @@ def run_plate(
     proj_method: str = "max",
     z_counts: Optional[Sequence[int]] = None,
 ) -> Dict[str, list]:
-    """Process a (B, Z, H, W) plate; returns per-well results dict.
+    """Process an in-memory (B, Z, H, W) plate; returns per-well results.
+
+    Thin wrapper over run_plate_streaming (one dispatch/postprocess loop
+    to maintain): wells stream from the array, trimmed to their true Z
+    when ``z_counts`` is given so padded slices are masked identically.
 
     With ``detect_well``, a well-boundary mask is fitted per well (the
     tools' -w flag, compute_branches.py:109-141): the area denominator
@@ -139,142 +144,32 @@ def run_plate(
     stage.
 
     ``proj_method`` is any of the five projection methods (min/max/med/
-    avg/fs); ``z_counts`` gives each well's true slice count when stacks
-    were Z-padded to a common depth — padded slices are masked out of the
-    reduction (ops/zproj.py::proj_masked), so every method is correct on
-    ragged plates. Well-boundary fitting always uses the max projection
-    (the brightest footprint), matching compute_branches' mask source.
+    avg/fs); padded Z slices are masked out of the reduction
+    (ops/zproj.py::proj_masked), so every method is correct on ragged
+    plates.
     """
-    timer = timer or StageTimer()
-    mesh = mesh or make_mesh(axis_names=("data",))
-    n_dev = mesh.devices.size
     n_wells = stacks.shape[0]
-
-    padded, n_valid = pad_to_multiple(stacks, n_dev)
-    padded_wells = padded.shape[0]
     if z_counts is None:
-        zc_arr = np.full((padded_wells,), stacks.shape[1], np.int32)
-    else:
-        zc_arr = np.full((padded_wells,), 1, np.int32)
-        zc_arr[:n_valid] = np.asarray(z_counts, np.int32)[:n_valid]
+        z_counts = [stacks.shape[1]] * n_wells
 
-    with timer.stage("device_pipeline"):
-        # Fully asynchronous per-chunk dispatch: every chunk's H2D transfer
-        # is issued up front (device_put is async), then each chunk runs
-        # ONE fused program (plate_stage1: zproj -> resize -> rescale ->
-        # GMM area -> tiled UNet -> median filter -> skeletonize) — per-op
-        # dispatch latency through the remote TPU tunnel is tens of ms, so
-        # collapsing the 5-dispatch chain into one dominates the non-UNet
-        # device time. One block at the end.
-        #
-        # Stacks transfer in their native integer dtype (4x less H2D than
-        # f32 for uint8 microscopy); Z padding is masked per well inside
-        # the fused program via zc_arr.
-        from tmat_tpu.parallel.plate import _data_sharding, plate_stage1, plate_stage2
+    def wells():
+        for i in range(n_wells):
+            yield well_ids[i], stacks[i, : max(1, int(z_counts[i]))]
 
-        sharding = _data_sharding(mesh)
-        chunk = n_dev
-        ds_ratio = segmentor.ds_ratio
-        target = tuple(
-            int(v) for v in np.round(np.multiply(padded.shape[2:], ds_ratio))
-        )
-        dev_chunks = [
-            jax.device_put(padded[start : start + chunk], sharding)
-            for start in range(0, padded.shape[0], chunk)
-        ]
-        del padded
-
-        well_masks_small = None
-        shrunken_masks = None
-        if detect_well:
-            # mask fitting needs projections on host, so compute them first
-            # (threads overlap the per-well hull + superellipse fits)
-            from tmat_tpu.tools.compute_branches import make_well_mask
-
-            proj_all = jnp.concatenate(
-                [
-                    plate_zproj(mesh, dc, "max").astype(jnp.float32)
-                    for dc in dev_chunks
-                ]
-            )
-            small_all = np.asarray(resize(proj_all, target, "lanczos"))
-            with ThreadPoolExecutor(max_workers=8) as pool:
-                mask_pairs = list(
-                    pool.map(
-                        lambda i: make_well_mask(small_all[i], seed=seed),
-                        range(small_all.shape[0]),
-                    )
-                )
-            well_masks_small = jnp.asarray(
-                np.stack([m for m, _ in mask_pairs]).astype(np.float32)
-            )
-            shrunken_masks = np.stack([s for _, s in mask_pairs])
-
-        dsamp = tuple(
-            int(v)
-            for v in np.round(np.multiply(target, DOWNSAMPLE_WIDTH / target[-1]))
-        )
-        pruning_masks = [None] * padded_wells
-        if detect_well:
-            pruning = np.asarray(
-                resize(
-                    jnp.asarray(~shrunken_masks, jnp.float32), dsamp, "nearest"
-                )
-                > 0
-            )
-            pruning_masks = [pruning[i] for i in range(pruning.shape[0])]
-
-        futures = []
-        idx = 0
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            while dev_chunks:
-                # consume the list so each raw-stack chunk's HBM buffer can
-                # be freed as soon as its fused program consumes it (the
-                # raw stacks are by far the largest device buffers)
-                dc = dev_chunks.pop(0)
-                wm = (
-                    well_masks_small[idx : idx + dc.shape[0]]
-                    if detect_well
-                    else None
-                )
-                outs = plate_stage1(
-                    mesh,
-                    dc,
-                    segmentor._pred_fn,
-                    segmentor.patch_size,
-                    2,
-                    target,
-                    sd_coef,
-                    wm,
-                    proj_method=proj_method,
-                    z_counts=zc_arr[idx : idx + dc.shape[0]],
-                )
-                futures.append(
-                    pool.submit(
-                        _finish_chunk,
-                        outs,
-                        pruning_masks[idx : idx + dc.shape[0]],
-                        mesh,
-                        dsamp,
-                        config,
-                        timer,
-                    )
-                )
-                idx += dc.shape[0]
-            finished = [f.result() for f in futures]
-
-        areas = np.concatenate([a for a, _ in finished])
-        graph_stats = [st for _, stats in finished for st in stats][:n_valid]
-
-    results = {
-        "well_id": list(well_ids[:n_valid]),
-        "area_pct": [float(a) * 100 for a in areas[:n_valid]],
-        "total_branches": [g[0] for g in graph_stats],
-        "total_branch_length_um": [g[1] for g in graph_stats],
-        "avg_branch_length_um": [g[2] for g in graph_stats],
-    }
-    results["_timer"] = timer
-    return results
+    return run_plate_streaming(
+        wells(),
+        n_wells,
+        stacks.shape[1:],
+        segmentor,
+        config,
+        plate_dtype=stacks.dtype,
+        mesh=mesh,
+        sd_coef=sd_coef,
+        timer=timer,
+        detect_well=detect_well,
+        seed=seed,
+        proj_method=proj_method,
+    )
 
 
 def run_plate_streaming(
@@ -302,9 +197,11 @@ def run_plate_streaming(
     per-well geometry (from core.io.probe_image_dims header probes).
     ``prefetch`` bounds how many chunks may be buffered ahead.
 
-    detect_well fits each chunk's well boundary as the chunk streams (an
-    extra max-projection program per chunk) instead of run_plate's
-    whole-plate pre-pass; results are identical per well.
+    Each chunk is handled end-to-end by one pool task (detect_well mask
+    fitting, the fused stage1 program, the host component filter, stage2,
+    Morse stats), so chunks overlap each other on both host and device;
+    the jit caches serialize program builds (parallel/plate.py) and the
+    device executes programs in enqueue order.
     """
     import queue as queue_mod
     import threading
@@ -324,6 +221,17 @@ def run_plate_streaming(
     )
 
     chunk_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def _put(item) -> None:
+        """Enqueue without ever parking forever: if the consumer died with
+        the queue full, the stop event lets the producer exit."""
+        while not stop.is_set():
+            try:
+                chunk_q.put(item, timeout=0.5)
+                return
+            except queue_mod.Full:
+                continue
 
     def producer():
         try:
@@ -333,10 +241,12 @@ def run_plate_streaming(
                 while len(buf) < n_dev:  # pad the tail chunk
                     buf.append(np.zeros((z_max, h_max, w_max), plate_dtype))
                     zcs.append(1)
-                chunk_q.put((list(ids), np.stack(buf), np.asarray(zcs, np.int32)))
+                _put((list(ids), np.stack(buf), np.asarray(zcs, np.int32)))
                 ids.clear(), buf.clear(), zcs.clear()
 
             for wid, stack in wells:
+                if stop.is_set():
+                    return
                 arr = np.zeros((z_max, h_max, w_max), plate_dtype)
                 arr[: stack.shape[0], : stack.shape[1], : stack.shape[2]] = stack
                 ids.append(wid)
@@ -346,66 +256,67 @@ def run_plate_streaming(
                     flush()
             if buf:
                 flush()
-            chunk_q.put(None)
+            _put(None)
         except BaseException as exc:  # surface loader failures to consumer
-            chunk_q.put(exc)
+            _put(exc)
 
     threading.Thread(target=producer, daemon=True).start()
 
+    def _chunk_task(chunk_np, zcs):
+        """One chunk end-to-end; runs in a pool thread so chunks overlap
+        on host (mask fits, component filter, Morse) while the device
+        queue serializes their programs."""
+        dc = jax.device_put(chunk_np, sharding)
+        wm = None
+        pruning_chunk = [None] * n_dev
+        if detect_well:
+            from tmat_tpu.tools.compute_branches import make_well_mask
+
+            proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
+            small_np = np.asarray(resize(proj, target, "lanczos"))
+            pairs = [
+                make_well_mask(small_np[i], seed=seed)
+                for i in range(small_np.shape[0])
+            ]
+            wm = jnp.asarray(np.stack([m for m, _ in pairs]).astype(np.float32))
+            shr = np.stack([s for _, s in pairs])
+            pruning = np.asarray(
+                resize(jnp.asarray(~shr, jnp.float32), dsamp, "nearest") > 0
+            )
+            pruning_chunk = [pruning[i] for i in range(pruning.shape[0])]
+
+        outs = plate_stage1(
+            mesh,
+            dc,
+            segmentor._pred_fn,
+            segmentor.patch_size,
+            2,
+            target,
+            sd_coef,
+            wm,
+            proj_method=proj_method,
+            z_counts=zcs,
+        )
+        return _finish_chunk(outs, pruning_chunk, mesh, dsamp, config, timer)
+
     well_ids: list = []
     finished = []
-    with timer.stage("device_pipeline"):
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            futures = []
-            while True:
-                item = chunk_q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                ids, chunk_np, zcs = item
-                well_ids.extend(ids)
-                dc = jax.device_put(chunk_np, sharding)
-
-                wm = None
-                pruning_chunk = [None] * n_dev
-                if detect_well:
-                    from tmat_tpu.tools.compute_branches import make_well_mask
-
-                    proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
-                    small_np = np.asarray(resize(proj, target, "lanczos"))
-                    pairs = [
-                        make_well_mask(small_np[i], seed=seed)
-                        for i in range(small_np.shape[0])
-                    ]
-                    wm = jnp.asarray(
-                        np.stack([m for m, _ in pairs]).astype(np.float32)
-                    )
-                    shr = np.stack([s for _, s in pairs])
-                    pruning = np.asarray(
-                        resize(jnp.asarray(~shr, jnp.float32), dsamp, "nearest")
-                        > 0
-                    )
-                    pruning_chunk = [pruning[i] for i in range(pruning.shape[0])]
-
-                outs = plate_stage1(
-                    mesh,
-                    dc,
-                    segmentor._pred_fn,
-                    segmentor.patch_size,
-                    2,
-                    target,
-                    sd_coef,
-                    wm,
-                    proj_method=proj_method,
-                    z_counts=zcs,
-                )
-                futures.append(
-                    pool.submit(
-                        _finish_chunk, outs, pruning_chunk, mesh, dsamp, config, timer
-                    )
-                )
-            finished = [f.result() for f in futures]
+    try:
+        with timer.stage("device_pipeline"):
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                futures = []
+                while True:
+                    item = chunk_q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    ids, chunk_np, zcs = item
+                    well_ids.extend(ids)
+                    futures.append(pool.submit(_chunk_task, chunk_np, zcs))
+                finished = [f.result() for f in futures]
+    finally:
+        stop.set()  # unblock the producer if we are exiting early
 
     areas = np.concatenate([a for a, _ in finished]) if finished else np.zeros(0)
     graph_stats = [st for _, stats in finished for st in stats][:n_wells]
@@ -442,6 +353,13 @@ def _probe_plate_geometry(img_paths):
     """
     from PIL import Image
 
+    def _mode_dtype(path):
+        try:
+            with Image.open(path) as im:
+                return _PIL_MODE_DTYPES.get(im.mode)
+        except OSError:
+            return None
+
     max_z = max_h = max_w = 0
     dtypes = []
     for files in img_paths.values():
@@ -450,27 +368,33 @@ def _probe_plate_geometry(img_paths):
             if d is None or d.T > 1 or d.C > 1 or d.Z > 1:
                 return None
             z, h, w = len(files), d.Y, d.X
-            probe_file = files[0]
+            # every slice file's mode matters: a mixed uint8/uint16
+            # sequence promotes on decode, and sizing the batch from
+            # files[0] alone would silently value-truncate the others
+            probe_files = files
         else:
             d = tio.probe_image_dims(files)
             if d is None or d.T > 1 or d.C > 1:
                 return None
             z, h, w = d.Z, d.Y, d.X
-            probe_file = files
-        try:
-            with Image.open(probe_file) as im:
-                dtype = _PIL_MODE_DTYPES.get(im.mode)
-        except OSError:
-            return None
-        if dtype is None:
-            return None
-        dtypes.append(dtype)
+            probe_files = [files]
+        for pf in probe_files:
+            dtype = _mode_dtype(pf)
+            if dtype is None:
+                return None
+            dtypes.append(dtype)
         max_z, max_h, max_w = max(max_z, z), max(max_h, h), max(max_w, w)
     return max_z, max_h, max_w, np.result_type(*dtypes)
 
 
-def _well_loader(img_paths, decode_workers: int = 4):
-    """Yield (well_id, ZYX stack) with decodes prefetched on a thread pool."""
+def _well_loader(img_paths, decode_workers: int = 4, ahead: int = 8):
+    """Yield (well_id, ZYX stack) with decodes prefetched on a thread pool.
+
+    Submission is bounded to ``ahead`` outstanding decodes and consumed
+    futures are dropped immediately, so host memory holds O(ahead) wells
+    rather than the whole plate (the point of the streaming path).
+    """
+    from collections import deque
 
     def _load(files):
         img, _ = tio.load_image(files)
@@ -478,9 +402,16 @@ def _well_loader(img_paths, decode_workers: int = 4):
             img = img[None]
         return img
 
+    items = list(img_paths.items())
     with ThreadPoolExecutor(max_workers=decode_workers) as pool:
-        futures = [(wid, pool.submit(_load, f)) for wid, f in img_paths.items()]
-        for wid, fut in futures:
+        pending = deque()
+        next_i = 0
+        while next_i < len(items) or pending:
+            while next_i < len(items) and len(pending) < ahead:
+                wid, files = items[next_i]
+                pending.append((wid, pool.submit(_load, files)))
+                next_i += 1
+            wid, fut = pending.popleft()
             yield wid, fut.result()
 
 
