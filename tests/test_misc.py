@@ -60,12 +60,13 @@ def test_dev_directories(tmp_path):
 
 
 class TestGuiPlumbing:
-    def test_tabs_cover_four_tools(self):
+    def test_tabs_cover_four_tools_plus_plate(self):
         assert {t.tool for t in gui.TABS} == {
             "compute_branches",
             "compute_zproj",
             "compute_cell_area",
             "compute_inv_depth",
+            "plate_pipeline",
         }
 
     def test_build_namespace_types(self):
@@ -108,3 +109,61 @@ class TestGuiPlumbing:
         )
         gui.run_tool(tab, ns)
         assert (tmp_path / "out" / "w_max.tif").is_file()
+
+
+def test_gui_plate_tab_runs(tmp_path, rng, monkeypatch):
+    """The Process Plate tab dispatches tools/plate_pipeline.main(args=ns)
+    end-to-end (tiny random segmentor)."""
+    import json
+
+    from PIL import Image
+
+    from tmat_tpu.core import defs as _defs
+    from tmat_tpu.models.params_io import save_params
+    from tmat_tpu.models.unet import build_unet_xception
+
+    mt = tmp_path / "model_training"
+    cfg_dir = mt / "binary_segmentation" / "configs"
+    ckpt_dir = mt / "binary_segmentation" / "checkpoints"
+    cfg_dir.mkdir(parents=True)
+    ckpt_dir.mkdir(parents=True)
+    _, variables = build_unet_xception(1, (32, 32), channels=1, filter_counts=(8, 16))
+    save_params(ckpt_dir / "checkpoint_1.msgpack", variables)
+    model_cfg = cfg_dir / "unet_patch_segmentor_1.json"
+    model_cfg.write_text(
+        json.dumps(
+            {
+                "patch_size": 32,
+                "checkpoint_file": "checkpoint_1.msgpack",
+                "filter_counts": [8, 16],
+                "ds_ratio": 1.0,
+                "channels": 1,
+            }
+        )
+    )
+
+    monkeypatch.setattr(_defs, "MODEL_TRAINING_DIR", mt)
+
+    in_dir = tmp_path / "plate"
+    in_dir.mkdir()
+    for w in range(2):
+        frames = [
+            Image.fromarray(rng.randint(0, 255, (64, 64)).astype(np.uint8))
+            for _ in range(3)
+        ]
+        frames[0].save(
+            in_dir / f"well{w}.tif", save_all=True, append_images=frames[1:]
+        )
+
+    tab = next(t for t in gui.TABS if t.tool == "plate_pipeline")
+    ns = gui.build_namespace(
+        tab,
+        {
+            "in_root": str(in_dir),
+            "out_root": str(tmp_path / "out"),
+            "image_width_microns": "800",
+            "model_cfg": str(model_cfg),
+        },
+    )
+    gui.run_tool(tab, ns)
+    assert (tmp_path / "out" / "plate_results.csv").is_file()

@@ -86,6 +86,21 @@ TABS: List[ToolTab] = [
         "compute_inv_depth",
         _COMMON + [Field("config", "Config file", "str")],
     ),
+    # batch surface beyond the reference's four tabs: whole-plate
+    # zproj -> area -> branches in one streamed run (tools/plate_pipeline)
+    ToolTab(
+        "Process Plate (batch)",
+        "plate_pipeline",
+        [
+            Field("in_root", "Plate folder", "dir"),
+            Field("out_root", "Output folder", "dir"),
+            Field("image_width_microns", "Image width (microns)", "float"),
+            Field("method", "Projection method (min/max/med/avg/fs)", "str", "max"),
+            Field("detect_well", "Detect well boundary", "bool", False),
+            Field("sd_coef", "SD coefficient", "float"),
+            Field("model_cfg", "Model config path", "str"),
+        ],
+    ),
 ]
 
 

@@ -415,7 +415,7 @@ def _well_loader(img_paths, decode_workers: int = 4, ahead: int = 8):
             yield wid, fut.result()
 
 
-def main(argv=None):
+def main(args=None, argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("in_root", type=str)
     p.add_argument("out_root", type=str)
@@ -430,7 +430,18 @@ def main(argv=None):
         default="max",
         help="Z-projection method (compute_zproj.py:26-32 dispatch table).",
     )
-    args = p.parse_args(argv)
+    if args is None:
+        args = p.parse_args(argv)
+    else:
+        # GUI-dispatched namespace (gui.py run_tool): fill absent flags
+        for name, default in (
+            ("model_cfg", None),
+            ("sd_coef", 0.0),
+            ("detect_well", False),
+            ("method", "max"),
+        ):
+            if getattr(args, name, None) in (None, ""):
+                setattr(args, name, default)
 
     from tmat_tpu.tools import args as su
 
