@@ -143,6 +143,53 @@ def bench_inv_depth(rng):
     )
 
 
+def bench_train_step(rng):
+    """Production UNet training throughput: weighted-BCE step (fwd + bwd +
+    optax update + BN stats) at the shipped geometry (patch 320, filters
+    64-512), batch 16 — the train_binary_segmentation recipe's batch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tmat_tpu.models.train import TrainState, make_unet_train_step
+    from tmat_tpu.models.unet import build_unet_xception
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    batch, patch = 16, 320
+    model, variables = build_unet_xception(
+        1, (patch, patch), channels=1, filter_counts=(64, 128, 256, 512),
+        dtype=dtype,
+    )
+    tx = optax.adamw(1e-3)
+    state = TrainState(
+        variables["params"],
+        variables["batch_stats"],
+        tx.init(variables["params"]),
+        0,
+    )
+    step = make_unet_train_step(model, tx)
+    xs = [
+        jnp.asarray(rng.rand(batch, patch, patch, 1), jnp.float32)
+        for _ in range(4)
+    ]
+    y = jnp.asarray(rng.rand(batch, patch, patch, 1) > 0.5, jnp.float32)
+
+    state, _ = step(state, xs[0], y)  # compile
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        state, metrics = step(state, xs[1 + i], y)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / reps
+    _emit(
+        "unet_train_step",
+        batch / dt,
+        "imgs/sec (weighted-BCE fwd+bwd+adamw+BN, patch 320, batch 16)",
+    )
+
+
 def bench_branches_3d(rng):
     """3-D Sato path of compute_branches (vesselness + postprocess +
     native Morse, --no-vis fast path), one (8, 512, 512) z-stack."""
@@ -245,6 +292,8 @@ def main():
         bench_inv_depth(rng)
     if "branches_3d" not in args.skip:
         bench_branches_3d(rng)
+    if "train" not in args.skip:
+        bench_train_step(rng)
     if "plate" not in args.skip:
         bench_plate()
 
