@@ -116,9 +116,14 @@ def bench_inv_depth(rng):
         stack_ensemble_variables,
     )
 
+    import jax.numpy as jnp
+
     n_members, n_slices = 3, 16
+    infer_dtype = (
+        jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    )
     model, template = build_resnet50_tl(
-        1, (256, 256, 3), base_last_layer="conv4_block6_out"
+        1, (256, 256, 3), base_last_layer="conv4_block6_out", dtype=infer_dtype
     )
     ens_dir = Path(defs.model_training_path("best_ensemble"))
     member_vars = []

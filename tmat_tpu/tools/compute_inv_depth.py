@@ -106,8 +106,16 @@ def main(args=None, argv=None):
     ensemble_dir = Path(defs.model_training_path("best_ensemble"))
     ranked = _rank_models_by_history(ensemble_dir, n_models)
 
+    import jax
+    import jax.numpy as jnp
+
+    # bf16 inference on TPU (params stay f32 in the checkpoint; the MXU
+    # runs the convs in bfloat16 like the segmentor's tiled path)
+    infer_dtype = (
+        jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    )
     model, template = build_resnet50_tl(
-        1, resnet_inp_shape, base_last_layer=last_resnet_layer
+        1, resnet_inp_shape, base_last_layer=last_resnet_layer, dtype=infer_dtype
     )
     member_vars = []
     for i in range(n_pred_models):
