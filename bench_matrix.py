@@ -134,7 +134,10 @@ def bench_inv_depth(rng):
         )
     stacked = stack_ensemble_variables(member_vars)
     ensemble_apply = make_ensemble_apply(model)
-    stack = (rng.rand(n_slices, 700, 700) * 255).astype(np.float32)
+    # native microscopy dtype: H2D through this TPU stack is bandwidth-
+    # bound, so transferring uint8 (cast to f32 on device inside prep)
+    # is 4x faster than a host-side float32 cast
+    stack = (rng.rand(n_slices, 700, 700) * 255).astype(np.uint8)
 
     def run():
         x = prep_inv_depth_imgs(stack, (256, 256))

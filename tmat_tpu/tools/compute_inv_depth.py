@@ -153,6 +153,11 @@ def main(args=None, argv=None):
     inv_pred_col = "Invasion Prediction (0=no 1=yes)"
     rows = []
 
+    # dispatch every stack asynchronously (native-dtype H2D — the cast to
+    # f32 happens on device inside prep; a host-side float32 cast would
+    # quadruple the transfer, which dominates this tool's runtime), then
+    # collect: stack i+1's transfer and prep overlap stack i's forwards
+    pending = []
     for zstack_id, zstack_path in zstack_paths.items():
         print(f"Processing {zstack_id}...", flush=True)
         try:
@@ -160,10 +165,12 @@ def main(args=None, argv=None):
         except OSError as error:
             print(f"{SFM.failure}{error}", flush=True)
             sys.exit(1)
-        x = prep_inv_depth_imgs(np.asarray(img, np.float32), resnet_inp_shape[:-1])
+        x = prep_inv_depth_imgs(np.asarray(img), resnet_inp_shape[:-1])
         # (k, Z, 1) member predictions -> mean over members
-        yhat_members = np.asarray(ensemble_apply(stacked, x))
-        yhatp = yhat_members.mean(axis=0).squeeze(-1)
+        pending.append((zstack_id, ensemble_apply(stacked, x)))
+
+    for zstack_id, yhat_members in pending:
+        yhatp = np.asarray(yhat_members).mean(axis=0).squeeze(-1)
         for z in range(len(yhatp)):
             inv_prob = round(float(yhatp[z]), 4)
             rows.append(
