@@ -236,3 +236,42 @@ def test_branches_no_vis_matches_vis(tmp_path):
     assert rows["novis"] == rows["vis"]
     assert not (tmp_path / "out_novis" / "visualizations").exists()
     assert (tmp_path / "out_vis" / "visualizations" / "wellA").is_dir()
+
+
+def test_region_expansion_matches_scatter_reference():
+    """The fused pad-and-shift region expansion must be bit-equal to the
+    original slice-scatter formulation (compute_branches.py:287-297
+    semantics), including frame edges."""
+    import jax.numpy as jnp
+    from itertools import product as iproduct
+
+    def scatter_reference(mask, vessels, iters=10):
+        sl = {-1: slice(1, None), 0: slice(None, None), 1: slice(None, -1)}
+        mask = mask.astype(bool)
+        for _ in range(iters):
+            mask_lo = jnp.zeros_like(mask)
+            mask_hi = jnp.zeros_like(mask)
+            for r, c in (
+                p for p in iproduct((-1, 0, 1), repeat=2) if p != (0, 0)
+            ):
+                src = (sl[r], sl[c])
+                dst = (sl[-r], sl[-c])
+                dst_lt_src = vessels[dst] < vessels[src]
+                mask_lo = mask_lo.at[dst].set(
+                    jnp.where(mask[src] & dst_lt_src, True, mask_lo[dst])
+                )
+                mask_hi = mask_hi.at[dst].set(
+                    jnp.where(mask[src] & ~dst_lt_src, True, mask_hi[dst])
+                )
+            mask = mask | ((vessels > 0.01) & mask_hi & ~mask_lo)
+        return mask
+
+    rng = np.random.RandomState(3)
+    for trial in range(3):
+        vessels = jnp.asarray(rng.rand(40, 44).astype(np.float32))
+        seed_mask = jnp.asarray(rng.rand(40, 44) > 0.9)
+        want = np.asarray(scatter_reference(seed_mask, vessels, iters=10))
+        got = np.asarray(
+            compute_branches._region_expansion(seed_mask, vessels, iters=10)
+        )
+        np.testing.assert_array_equal(got, want)

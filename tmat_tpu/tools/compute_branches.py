@@ -21,10 +21,12 @@ import csv
 import json
 import os
 import sys
+from functools import partial
 from itertools import product
 from pathlib import Path
 from typing import Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,31 +105,44 @@ def make_well_mask(img: np.ndarray, seed: int = 0):
     return well_mask, shrunken
 
 
+def _shift2d(x: jnp.ndarray, dr: int, dc: int, fill):
+    """out[i, j] = x[i + dr, j + dc], out-of-range -> fill (no wraparound)."""
+    h, w = x.shape
+    padded = jnp.pad(x, 1, constant_values=fill)
+    return jax.lax.dynamic_slice(padded, (1 + dr, 1 + dc), (h, w))
+
+
+@partial(jax.jit, static_argnames=("iters",))
 def _region_expansion(mask: jnp.ndarray, vessels: jnp.ndarray, iters: int = 10):
     """Gradient-guided region expansion (compute_branches.py:287-297).
 
     Each iteration marks neighbors of mask pixels as expandable when they
     sit on a non-decreasing intensity path (mask_hi) and not on a
-    decreasing one (mask_lo). Pure shifted-compare updates -> stays fused
-    on device.
+    decreasing one (mask_lo). Expressed as 8 pad-and-shift compares ORed
+    per iteration inside one fori_loop jit — XLA fuses each iteration to
+    a single elementwise pass (the previous slice-scatter formulation
+    dispatched 160 partial-array updates and dominated the whole 3-D
+    branches path at ~1.7s/stack; this runs in ~10ms). Bit-equal to the
+    scatter formulation (test_tool_branches.py::test_region_expansion_
+    matches_scatter_reference): a neighbor outside the frame contributes
+    False exactly like the reference's slice-overlap writes.
     """
-    sl = {-1: slice(1, None), 0: slice(None, None), 1: slice(None, -1)}
     mask = mask.astype(bool)
-    for _ in range(iters):
-        mask_lo = jnp.zeros_like(mask)
-        mask_hi = jnp.zeros_like(mask)
-        for r, c in (p for p in product((-1, 0, 1), repeat=2) if p != (0, 0)):
-            src = (sl[r], sl[c])
-            dst = (sl[-r], sl[-c])
-            dst_lt_src = vessels[dst] < vessels[src]
-            mask_lo = mask_lo.at[dst].set(
-                jnp.where(mask[src] & dst_lt_src, True, mask_lo[dst])
-            )
-            mask_hi = mask_hi.at[dst].set(
-                jnp.where(mask[src] & ~dst_lt_src, True, mask_hi[dst])
-            )
-        mask = mask | ((vessels > 0.01) & mask_hi & ~mask_lo)
-    return mask
+    offsets = [p for p in product((-1, 0, 1), repeat=2) if p != (0, 0)]
+
+    def body(_, m):
+        lo = jnp.zeros_like(m)
+        hi = jnp.zeros_like(m)
+        for r, c in offsets:
+            # the source pixel for destination (i, j) is (i - r, j - c)
+            src_mask = _shift2d(m, -r, -c, False)
+            src_vess = _shift2d(vessels, -r, -c, 0.0)
+            lt = vessels < src_vess
+            lo = lo | (src_mask & lt)
+            hi = hi | (src_mask & ~lt)
+        return m | ((vessels > 0.01) & hi & ~lo)
+
+    return jax.lax.fori_loop(0, iters, body, mask)
 
 
 def analyze_img(
