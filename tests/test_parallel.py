@@ -168,3 +168,49 @@ def test_graft_entry_forward_shape():
     fn, (variables, x) = g.entry()
     out_shape = jax.eval_shape(fn, variables, x)
     assert out_shape.shape == (8, 320, 320, 1)
+
+
+def test_run_plate_mesh_matches_single_device(mesh8, rng):
+    """The WHOLE plate pipeline (streamed chunks, fused stage1/stage2,
+    host filter, Morse) on the 8-device mesh must match its single-device
+    result — including a non-divisible well count (5 wells pad to 8)."""
+    from tmat_tpu.models.unet import UNetXceptionPatchSegmentor
+    from tmat_tpu.models.params_io import save_params
+    from tmat_tpu.tools import plate_pipeline as pp
+    import tempfile
+    from pathlib import Path
+
+    hw, z, n = 64, 3, 5
+    plate = (rng.rand(n, z, hw, hw) * 10).astype(np.float32)
+    rr, cc = np.mgrid[0:hw, 0:hw]
+    ring = np.abs(np.sqrt((rr - hw / 2) ** 2 + (cc - hw / 2) ** 2) - hw / 3) < 2
+    plate[:, 1][:, ring] += 200
+    plate = plate.astype(np.uint8)
+
+    from tmat_tpu.models.unet import build_unet_xception
+
+    _, variables = build_unet_xception(1, (16, 16), channels=1, filter_counts=(4, 8))
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = Path(td) / "ckpt.msgpack"
+        save_params(ckpt, variables)
+        seg = UNetXceptionPatchSegmentor(16, ckpt, (4, 8), ds_ratio=1.0)
+
+        cfg = {"image_width_microns": 800.0}
+        ids = [f"W{i}" for i in range(n)]
+        single = pp.run_plate(
+            plate, ids, seg, cfg, mesh=M.make_mesh((1,), ("data",)), sd_coef=-2.0
+        )
+        single.pop("_timer")
+        sharded = pp.run_plate(plate, ids, seg, cfg, mesh=mesh8, sd_coef=-2.0)
+        sharded.pop("_timer")
+
+    assert sharded["well_id"] == single["well_id"]
+    assert sharded["total_branches"] == single["total_branches"]
+    np.testing.assert_allclose(
+        sharded["area_pct"], single["area_pct"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sharded["total_branch_length_um"],
+        single["total_branch_length_um"],
+        rtol=1e-4,
+    )
