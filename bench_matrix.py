@@ -116,12 +116,10 @@ def bench_inv_depth(rng):
         stack_ensemble_variables,
     )
 
-    import jax.numpy as jnp
+    from tmat_tpu.models import default_infer_dtype
 
     n_members, n_slices = 3, 16
-    infer_dtype = (
-        jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
-    )
+    infer_dtype = default_infer_dtype()
     model, template = build_resnet50_tl(
         1, (256, 256, 3), base_last_layer="conv4_block6_out", dtype=infer_dtype
     )
@@ -159,23 +157,18 @@ def bench_train_step(rng):
     import jax.numpy as jnp
     import optax
 
-    from tmat_tpu.models.train import TrainState, make_unet_train_step
+    from tmat_tpu.models import default_infer_dtype
+    from tmat_tpu.models.train import init_train_state, make_unet_train_step
     from tmat_tpu.models.unet import build_unet_xception
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    dtype = default_infer_dtype()
     batch, patch = 16, 320
     model, variables = build_unet_xception(
         1, (patch, patch), channels=1, filter_counts=(64, 128, 256, 512),
         dtype=dtype,
     )
     tx = optax.adamw(1e-3)
-    state = TrainState(
-        variables["params"],
-        variables["batch_stats"],
-        tx.init(variables["params"]),
-        0,
-    )
+    state = init_train_state(variables, tx)
     step = make_unet_train_step(model, tx)
     xs = [
         jnp.asarray(rng.rand(batch, patch, patch, 1), jnp.float32)

@@ -249,13 +249,13 @@ def get_unet_patch_segmentor_from_cfg(cfg_json: str) -> UNetXceptionPatchSegment
             f"binary_segmentation/checkpoints/{checkpoint_file}"
         )
 
-    # production dtype: bfloat16 on accelerators (the MXU's native format;
-    # f32 ran the tools' tiled UNet ~6x slower end-to-end), f32 on CPU.
-    # Overridable per config ("dtype": "float32"/"bfloat16").
+    # production dtype (models.default_infer_dtype: bf16 on accelerators),
+    # overridable per config ("dtype": "float32"/"bfloat16")
     dtype_name = cfg.get("dtype")
     if dtype_name is None:
-        on_accel = jax.devices()[0].platform != "cpu"
-        dtype = jnp.bfloat16 if on_accel else jnp.float32
+        from tmat_tpu.models import default_infer_dtype
+
+        dtype = default_infer_dtype()
     else:
         dtype = jnp.dtype(dtype_name)
 

@@ -59,10 +59,9 @@ def _rank_models_by_history(ensemble_dir: Path, n_models: int) -> np.ndarray:
 def main(args=None, argv=None):
     default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
     if args is None:
-        args = su.parse_inv_depth_args({"default_config_path": default_config_path}, argv)
-        args_prespecified = False
-    else:
-        args_prespecified = True
+        args = su.parse_inv_depth_args(
+            {"default_config_path": default_config_path}, argv
+        )
 
     su.check_input_dir_structure(args.in_root)
 
@@ -84,11 +83,9 @@ def main(args=None, argv=None):
     n_models = training_values["n_models"]
     last_resnet_layer = best_hp["last_resnet_layer"]
 
-    config_path = (
-        default_config_path
-        if args_prespecified or getattr(args, "config", None) is None
-        else args.config
-    )
+    # honor an explicit config from either entry path (CLI flag or the
+    # GUI's Config-file field; compute_branches.py applies the same rule)
+    config_path = getattr(args, "config", None) or default_config_path
     try:
         config = su.verify_config_file(config_path)
     except FileNotFoundError as e:
@@ -106,14 +103,11 @@ def main(args=None, argv=None):
     ensemble_dir = Path(defs.model_training_path("best_ensemble"))
     ranked = _rank_models_by_history(ensemble_dir, n_models)
 
-    import jax
-    import jax.numpy as jnp
+    from tmat_tpu.models import default_infer_dtype
 
     # bf16 inference on TPU (params stay f32 in the checkpoint; the MXU
     # runs the convs in bfloat16 like the segmentor's tiled path)
-    infer_dtype = (
-        jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
-    )
+    infer_dtype = default_infer_dtype()
     model, template = build_resnet50_tl(
         1, resnet_inp_shape, base_last_layer=last_resnet_layer, dtype=infer_dtype
     )
@@ -153,23 +147,19 @@ def main(args=None, argv=None):
     inv_pred_col = "Invasion Prediction (0=no 1=yes)"
     rows = []
 
-    # dispatch every stack asynchronously (native-dtype H2D — the cast to
-    # f32 happens on device inside prep; a host-side float32 cast would
-    # quadruple the transfer, which dominates this tool's runtime), then
-    # collect: stack i+1's transfer and prep overlap stack i's forwards
-    pending = []
-    for zstack_id, zstack_path in zstack_paths.items():
-        print(f"Processing {zstack_id}...", flush=True)
-        try:
-            img, _ = tio.load_image(zstack_path, args.time, args.channel)
-        except OSError as error:
-            print(f"{SFM.failure}{error}", flush=True)
-            sys.exit(1)
-        x = prep_inv_depth_imgs(np.asarray(img), resnet_inp_shape[:-1])
-        # (k, Z, 1) member predictions -> mean over members
-        pending.append((zstack_id, ensemble_apply(stacked, x)))
+    # Async dispatch with a bounded window (native-dtype H2D — the cast
+    # to f32 happens on device inside prep; a host-side float32 cast
+    # would quadruple the transfer, which dominates this tool's runtime):
+    # stack i+k's transfer and prep overlap stack i's forwards, while at
+    # most MAX_IN_FLIGHT stacks' inputs stay alive on device (an
+    # unbounded queue would hold every stack's buffers on a slow backend)
+    from collections import deque
 
-    for zstack_id, yhat_members in pending:
+    MAX_IN_FLIGHT = 8
+    pending: deque = deque()
+
+    def collect_one():
+        zstack_id, yhat_members = pending.popleft()
         yhatp = np.asarray(yhat_members).mean(axis=0).squeeze(-1)
         for z in range(len(yhatp)):
             inv_prob = round(float(yhatp[z]), 4)
@@ -180,6 +170,21 @@ def main(args=None, argv=None):
                     inv_pred_col: int(inv_prob > cls_thresh),
                 }
             )
+
+    for zstack_id, zstack_path in zstack_paths.items():
+        print(f"Processing {zstack_id}...", flush=True)
+        try:
+            img, _ = tio.load_image(zstack_path, args.time, args.channel)
+        except OSError as error:
+            print(f"{SFM.failure}{error}", flush=True)
+            sys.exit(1)
+        x = prep_inv_depth_imgs(np.asarray(img), resnet_inp_shape[:-1])
+        # (k, Z, 1) member predictions -> mean over members
+        pending.append((zstack_id, ensemble_apply(stacked, x)))
+        if len(pending) >= MAX_IN_FLIGHT:
+            collect_one()
+    while pending:
+        collect_one()
 
     print("Saving results...", flush=True)
     out_csv_path = os.path.join(args.out_root, "invasion_depth_predictions.csv")

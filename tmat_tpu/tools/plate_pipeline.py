@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import sys
 import csv
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -434,14 +435,22 @@ def main(args=None, argv=None):
         args = p.parse_args(argv)
     else:
         # GUI-dispatched namespace (gui.py run_tool): fill absent flags
-        for name, default in (
-            ("model_cfg", None),
-            ("sd_coef", 0.0),
-            ("detect_well", False),
-            ("method", "max"),
-        ):
+        # from the parser itself (single source of truth for defaults)
+        # and re-apply the validations argparse would have enforced
+        for name in ("model_cfg", "sd_coef", "detect_well", "method"):
             if getattr(args, name, None) in (None, ""):
-                setattr(args, name, default)
+                setattr(args, name, p.get_default(name))
+        for required in ("in_root", "out_root", "image_width_microns"):
+            if getattr(args, required, None) in (None, ""):
+                print(f"{SFM.failure} Missing required field: {required}", flush=True)
+                sys.exit(2)
+        if args.method not in ("min", "max", "med", "avg", "fs"):
+            print(
+                f"{SFM.failure} Invalid projection method: {args.method!r} "
+                "(choose from min/max/med/avg/fs)",
+                flush=True,
+            )
+            sys.exit(2)
 
     from tmat_tpu.tools import args as su
 
