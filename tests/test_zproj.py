@@ -75,15 +75,16 @@ class TestProjMasked:
     of the five methods (ops/zproj.py::proj_masked)."""
 
     @pytest.mark.parametrize("method", ["min", "max", "med", "avg", "fs"])
-    def test_matches_unpadded(self, method):
+    @pytest.mark.parametrize("n_real", [4, 5])  # even + odd median paths
+    def test_matches_unpadded(self, method, n_real):
         from tmat_tpu.ops.zproj import PROJ_METHODS, proj_masked
 
         rng = np.random.RandomState(42)
-        real = (rng.rand(5, 24, 24) * 255).astype(np.uint8)
+        real = (rng.rand(n_real, 24, 24) * 255).astype(np.uint8)
         padded = np.zeros((8, 24, 24), np.uint8)
-        padded[:5] = real
+        padded[:n_real] = real
 
-        got = np.asarray(proj_masked(jnp.asarray(padded), 5, method))
+        got = np.asarray(proj_masked(jnp.asarray(padded), n_real, method))
         want = np.asarray(
             PROJ_METHODS[method](jnp.asarray(real.astype(np.float32)))
         )
