@@ -225,3 +225,30 @@ class TestMorseGraph:
         fig2.savefig(tmp_path / "tree.png")
         plt.close("all")
         assert (tmp_path / "barcode.png").stat().st_size > 0
+
+
+def test_vectorized_eccentricity_matches_per_region_loop():
+    """region_properties' bincount-moment eccentricity must equal the
+    per-region extraction math (regionprops.py _region_moments) for every
+    component of a dense many-component raster."""
+    from scipy import ndimage
+
+    rng = np.random.RandomState(7)
+    mask = rng.rand(150, 170) > 0.88
+    labels, n = rp.label(mask)
+
+    want = np.zeros(n)
+    for i, sl in enumerate(ndimage.find_objects(labels)):
+        if sl is None:
+            continue
+        sub = labels[sl] == (i + 1)
+        rows, cols = np.nonzero(sub)
+        if len(rows) > 0:
+            want[i] = rp.eccentricity_from_moments(
+                *rp._region_moments(rows, cols)
+            )
+
+    got = rp.region_properties(labels, n, props=("eccentricity",))[
+        "eccentricity"
+    ]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)

@@ -70,31 +70,63 @@ def eccentricity_from_moments(mu20, mu02, mu11) -> float:
     return math.sqrt(max(1 - l2 / l1, 0.0))
 
 
-def region_properties(labels: np.ndarray, n_labels: int) -> Dict[str, np.ndarray]:
+_ALL_PROPS = ("area", "perimeter", "eccentricity", "equivalent_diameter_area")
+
+
+def region_properties(
+    labels: np.ndarray, n_labels: int, props=_ALL_PROPS
+) -> Dict[str, np.ndarray]:
     """Per-region area / perimeter / eccentricity / equivalent diameter.
 
-    Index i of each array corresponds to label i+1 (like regionprops order).
+    Index i of each array corresponds to label i+1 (like regionprops
+    order). Only the requested ``props`` are computed: eccentricity is a
+    set of vectorized bincount moment reductions over the whole raster,
+    but perimeter needs a per-region pass (the border-code convolution
+    would mix codes between diagonally adjacent components), so skipping
+    it matters on skeleton images with hundreds of components.
     """
-    areas = np.bincount(labels.ravel(), minlength=n_labels + 1)[1:].astype(float)
-    perims = np.zeros(n_labels)
-    eccs = np.zeros(n_labels)
-    eq_diam = np.sqrt(4 * areas / np.pi)
+    idx = labels.ravel()
+    areas = np.bincount(idx, minlength=n_labels + 1)[1:].astype(float)
+    out: Dict[str, np.ndarray] = {}
+    if "area" in props:
+        out["area"] = areas
+    if "equivalent_diameter_area" in props:
+        out["equivalent_diameter_area"] = np.sqrt(4 * areas / np.pi)
 
-    objects = ndimage.find_objects(labels)
-    for i, sl in enumerate(objects):
-        if sl is None:
-            continue
-        sub = labels[sl] == (i + 1)
-        perims[i] = perimeter(sub)
-        rows, cols = np.nonzero(sub)
-        if len(rows) > 0:
-            eccs[i] = eccentricity_from_moments(*_region_moments(rows, cols))
-    return {
-        "area": areas,
-        "perimeter": perims,
-        "eccentricity": eccs,
-        "equivalent_diameter_area": eq_diam,
-    }
+    if "eccentricity" in props:
+        rr, cc = np.indices(labels.shape)
+        safe = np.maximum(areas, 1.0)
+
+        def mean_of(w):
+            return np.bincount(idx, weights=w.ravel(), minlength=n_labels + 1)[
+                1:
+            ] / safe
+
+        r0 = mean_of(rr.astype(np.float64))
+        c0 = mean_of(cc.astype(np.float64))
+        mu20 = mean_of((rr * rr).astype(np.float64)) - r0 * r0
+        mu02 = mean_of((cc * cc).astype(np.float64)) - c0 * c0
+        mu11 = mean_of((rr * cc).astype(np.float64)) - r0 * c0
+        t = mu20 + mu02
+        d = np.sqrt(np.maximum((mu20 - mu02) ** 2 + 4 * mu11**2, 0.0))
+        l1 = (t + d) / 2
+        l2 = (t - d) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            eccs = np.sqrt(np.maximum(1 - l2 / np.maximum(l1, 1e-300), 0.0))
+        eccs[l1 <= 0] = 0.0
+        eccs[areas == 0] = 0.0
+        out["eccentricity"] = eccs
+
+    if "perimeter" in props:
+        perims = np.zeros(n_labels)
+        objects = ndimage.find_objects(labels)
+        for i, sl in enumerate(objects):
+            if sl is None:
+                continue
+            sub = labels[sl] == (i + 1)
+            perims[i] = perimeter(sub)
+        out["perimeter"] = perims
+    return out
 
 
 def regionprops_image(mask: np.ndarray, prop: str) -> np.ndarray:
@@ -103,7 +135,7 @@ def regionprops_image(mask: np.ndarray, prop: str) -> np.ndarray:
     labels, n = label(mask)
     if n == 0:
         return np.zeros(mask.shape, float)
-    props = region_properties(labels, n)[prop]
+    props = region_properties(labels, n, props=(prop,))[prop]
     lut = np.concatenate(([0.0], props))
     return lut[labels]
 

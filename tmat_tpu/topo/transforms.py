@@ -140,7 +140,7 @@ def filter_branch_seg_mask(
     labeled, n_labels = rp.label(mask, connectivity=2)
     if n_labels == 0:
         return mask
-    props = rp.region_properties(labeled, n_labels)
+    props = rp.region_properties(labeled, n_labels, props=("area", "perimeter"))
     circularities = (
         4 * np.pi * props["area"] / (props["perimeter"] ** 2 + 1e-7)
     )
