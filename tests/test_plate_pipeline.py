@@ -156,8 +156,10 @@ def test_run_plate_ragged_z_methods(tiny_segmentor, rng):
 
 
 def test_streaming_matches_buffered(tiny_segmentor, rng):
-    """run_plate_streaming must produce identical results to run_plate on
-    the same wells (including a ragged-Z tail well on a padded chunk)."""
+    """Wrapper smoke test: run_plate delegates to run_plate_streaming, so
+    this asserts the array-entry adapter (z-count trimming, padding) is
+    faithful; the fused-vs-unfused divergence check is
+    test_streaming_matches_independent_ops."""
     plate = _plate(n_wells=3, z=3, rng=rng)
     plate[2, 2] = 0.0
     z_counts = [3, 3, 2]
@@ -189,6 +191,100 @@ def test_streaming_matches_buffered(tiny_segmentor, rng):
     )
     streamed.pop("_timer")
     assert streamed == buffered
+
+
+def test_streaming_matches_independent_ops(tiny_segmentor, rng):
+    """The fused plate_stage1/stage2 pipeline must equal the same wells
+    pushed through the INDEPENDENTLY composed public ops (plate_zproj_masked
+    -> plate_threshold -> resize/rescale -> plate_segment -> median ->
+    skeletonize -> filter_branch_seg_mask -> stage2 -> Morse stats) — a
+    genuinely different set of device programs, so a fusion bug in stage1
+    cannot cancel out of the comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmat_tpu.ops import morphology as morph
+    from tmat_tpu.ops.rescale import rescale_intensity
+    from tmat_tpu.ops.resize import resize
+    from tmat_tpu.parallel import plate as PL
+    from tmat_tpu.parallel.mesh import make_mesh
+    from tmat_tpu.topo.transforms import (
+        _median_filter_disk2_batch,
+        filter_branch_seg_mask,
+    )
+
+    n_dev = len(jax.devices())
+    plate = _plate(n_wells=3, z=3, rng=rng).astype(np.uint8)
+    plate[2, 2] = 0
+    z_counts = [3, 3, 2]
+    ids = ["A", "B", "C"]
+    cfg = {"image_width_microns": 800.0}
+
+    def wells():
+        for i, wid in enumerate(ids):
+            yield wid, plate[i, : z_counts[i]]
+
+    streamed = plate_pipeline.run_plate_streaming(
+        wells(), 3, plate.shape[1:], tiny_segmentor, cfg,
+        plate_dtype=np.uint8, sd_coef=-2.0,
+    )
+    streamed.pop("_timer")
+
+    # --- independent composition (pad to the device count for sharding) ---
+    mesh = make_mesh(axis_names=("data",))
+    padded = np.zeros((n_dev,) + plate.shape[1:], plate.dtype)
+    padded[:3] = plate
+    zcs = np.asarray(z_counts + [1] * (n_dev - 3), np.int32)
+
+    proj = PL.plate_zproj_masked(mesh, jnp.asarray(padded), zcs, "max")
+    thresh = PL.plate_threshold(mesh, proj.astype(jnp.float32), -2.0)
+    areas = np.asarray(jnp.mean(thresh.astype(jnp.float32), axis=(1, 2)))
+
+    hw = plate.shape[-1]
+    target = (hw, hw)  # ds_ratio 1.0
+    small = jax.vmap(
+        lambda p: rescale_intensity(
+            resize(p.astype(jnp.float32)[None], target, "lanczos")[0],
+            out_range=(0, 1),
+        )
+    )(proj)
+    preds = PL.plate_segment(
+        mesh, small, tiny_segmentor._pred_fn, tiny_segmentor.patch_size, 2
+    )
+    seg = (preds > 0.5).astype(jnp.float32)
+    filtered = _median_filter_disk2_batch(seg) > 0.5
+    skels = jax.vmap(morph.skeletonize)(filtered)
+
+    f_np, s_np = np.asarray(filtered), np.asarray(skels)
+    masks = np.stack(
+        [
+            filter_branch_seg_mask(
+                f_np[j].astype(np.uint8), footprint=None,
+                precomputed_skeleton=s_np[j],
+            )
+            > 0
+            for j in range(n_dev)
+        ]
+    )
+    dsamp = (plate_pipeline.DOWNSAMPLE_WIDTH, plate_pipeline.DOWNSAMPLE_WIDTH)
+    p384 = np.asarray(
+        PL.plate_stage2(mesh, preds, jnp.asarray(masks), skels, dsamp)
+    )
+    stats = [
+        plate_pipeline._analyze_well_graph(p384[j], cfg, dsamp[1])
+        for j in range(3)
+    ]
+
+    np.testing.assert_allclose(
+        streamed["area_pct"], [float(a) * 100 for a in areas[:3]], atol=1e-5
+    )
+    assert streamed["total_branches"] == [s[0] for s in stats]
+    np.testing.assert_allclose(
+        streamed["total_branch_length_um"], [s[1] for s in stats], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        streamed["avg_branch_length_um"], [s[2] for s in stats], atol=1e-6
+    )
 
 
 def test_streaming_matches_buffered_detect_well(tiny_segmentor, rng):

@@ -9,6 +9,7 @@ jits with XLA inserting any needed collectives.
 from tmat_tpu.parallel.mesh import make_mesh, shard_leading, replicated
 from tmat_tpu.parallel.plate import (
     plate_zproj,
+    plate_zproj_masked,
     plate_threshold,
     plate_segment,
 )

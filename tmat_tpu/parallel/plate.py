@@ -68,6 +68,30 @@ def plate_zproj(mesh: Mesh, stacks: jax.Array, method: str = "max") -> jax.Array
     return fn(jax.device_put(stacks, sharding))
 
 
+def plate_zproj_masked(
+    mesh: Mesh, stacks: jax.Array, z_counts: jax.Array, method: str = "max"
+) -> jax.Array:
+    """Z-project a ragged (B, Z, H, W) plate: per-well ``z_counts`` mask the
+    padded Z slices out of the reduction (ops/zproj.py::proj_masked), so
+    every method is correct on plates whose wells have unequal depth."""
+    from tmat_tpu.ops.zproj import proj_masked
+
+    sharding = _data_sharding(mesh)
+
+    def build():
+        return jax.jit(
+            jax.vmap(lambda s, zc: proj_masked(s, zc, method)),
+            in_shardings=(sharding, sharding),
+            out_shardings=sharding,
+        )
+
+    fn = _cached(("zproj_masked", mesh, method, stacks.shape, stacks.dtype.name), build)
+    return fn(
+        jax.device_put(stacks, sharding),
+        jax.device_put(jnp.asarray(z_counts, jnp.int32), sharding),
+    )
+
+
 def plate_threshold(
     mesh: Mesh, imgs: jax.Array, sd_coef: float, masks: Optional[jax.Array] = None
 ) -> jax.Array:

@@ -22,7 +22,11 @@ import argparse
 import sys
 import csv
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import (
+    FIRST_COMPLETED,
+    ThreadPoolExecutor,
+    wait as futures_wait,
+)
 from pathlib import Path
 from typing import Dict, Optional, Sequence
 
@@ -36,7 +40,7 @@ from tmat_tpu.core.profiling import StageTimer
 from tmat_tpu.models.unet import get_unet_patch_segmentor_from_cfg
 from tmat_tpu.ops.resize import resize
 from tmat_tpu.parallel.mesh import make_mesh
-from tmat_tpu.parallel.plate import plate_zproj
+from tmat_tpu.parallel.plate import plate_zproj_masked
 from tmat_tpu.topo.morse import MorseGraph
 from tmat_tpu.topo.morse_native import morse_stats_native
 from tmat_tpu.topo.transforms import filter_branch_seg_mask
@@ -273,7 +277,13 @@ def run_plate_streaming(
         if detect_well:
             from tmat_tpu.tools.compute_branches import make_well_mask
 
-            proj = plate_zproj(mesh, dc, "max").astype(jnp.float32)
+            # fit the mask on the SAME projection stage1 analyzes (the
+            # user-selected -m method, Z padding masked) — fitting on an
+            # unmasked max projection could disagree with the analyzed
+            # image for min/avg/med/fs plates
+            proj = plate_zproj_masked(mesh, dc, zcs, proj_method).astype(
+                jnp.float32
+            )
             small_np = np.asarray(resize(proj, target, "lanczos"))
             pairs = [
                 make_well_mask(small_np[i], seed=seed)
@@ -302,11 +312,21 @@ def run_plate_streaming(
 
     well_ids: list = []
     finished = []
+    max_workers = 8
     try:
         with timer.stage("device_pipeline"):
-            with ThreadPoolExecutor(max_workers=8) as pool:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
                 futures = []
                 while True:
+                    # throttle: without this, the consumer drains chunk_q
+                    # instantly and every pending chunk array sits in the
+                    # pool's unbounded internal queue — backpressure must
+                    # propagate to the producer through chunk_q
+                    while (
+                        sum(not f.done() for f in futures)
+                        >= max_workers + max(1, prefetch)
+                    ):
+                        futures_wait(futures, return_when=FIRST_COMPLETED)
                     item = chunk_q.get()
                     if item is None:
                         break
@@ -365,13 +385,19 @@ def _probe_plate_geometry(img_paths):
     dtypes = []
     for files in img_paths.values():
         if isinstance(files, (list, tuple)):
-            d = tio.probe_image_dims(files[0])
-            if d is None or d.T > 1 or d.C > 1 or d.Z > 1:
-                return None
-            z, h, w = len(files), d.Y, d.X
-            # every slice file's mode matters: a mixed uint8/uint16
-            # sequence promotes on decode, and sizing the batch from
-            # files[0] alone would silently value-truncate the others
+            # every slice file's dims AND mode matter: a later slice with
+            # different H/W would break the stack broadcast mid-stream,
+            # and a mixed uint8/uint16 sequence promotes on decode
+            d0 = None
+            for pf in files:
+                d = tio.probe_image_dims(pf)
+                if d is None or d.T > 1 or d.C > 1 or d.Z > 1:
+                    return None
+                if d0 is None:
+                    d0 = d
+                elif (d.Y, d.X) != (d0.Y, d0.X):
+                    return None  # ragged slice dims -> buffered fallback
+            z, h, w = len(files), d0.Y, d0.X
             probe_files = files
         else:
             d = tio.probe_image_dims(files)

@@ -545,11 +545,19 @@ static AnalysisResult analyze(const Graph &trimmed,
     std::vector<uint8_t> seen(N, 0);
 
     // components in first-appearance order (LightGraph.connected_components);
-    // root = first max-degree node in graph node order within the component
+    // root = first max-degree node in nx's subgraph-view iteration order:
+    // FilterAtlas iterates the component SET itself when 2*|c| < |V|
+    // (CPython set order, where the set was built by show_nodes RE-ADDING
+    // the BFS-order set's elements one by one in its iteration order), and
+    // the graph's node order filtered by membership otherwise. Matches
+    // topo/morse.py::__get_forest exactly (tests/test_morse_native.py and
+    // the real-data goldens assert this).
     std::vector<int64_t> order_index(N, -1);
+    int64_t n_total = 0;
     {
         int64_t oi = 0;
         trimmed.for_each_node([&](int32_t n) { order_index[n] = oi++; });
+        n_total = oi;
     }
     trimmed.for_each_node([&](int32_t start) {
         if (seen[start]) return;
@@ -566,13 +574,26 @@ static AnalysisResult analyze(const Graph &trimmed,
                     q.push_back(n);
                 }
         }
-        std::sort(comp.begin(), comp.end(),
-                  [&](int32_t a, int32_t b) {
-                      return order_index[a] < order_index[b];
-                  });
-        int32_t root = comp[0];
-        for (int32_t n : comp)
-            if (trimmed.degree(n) > trimmed.degree(root)) root = n;
+        int32_t root = -1;
+        if (2 * (int64_t)comp.size() < n_total) {
+            PySet bfs_set;
+            for (int32_t v : comp) bfs_set.add(v);
+            PySet rebuilt;
+            bfs_set.for_each([&](int64_t v) { rebuilt.add(v); });
+            rebuilt.for_each([&](int64_t v) {
+                if (root < 0 ||
+                    trimmed.degree((int32_t)v) > trimmed.degree(root))
+                    root = (int32_t)v;
+            });
+        } else {
+            std::sort(comp.begin(), comp.end(),
+                      [&](int32_t a, int32_t b) {
+                          return order_index[a] < order_index[b];
+                      });
+            root = comp[0];
+            for (int32_t n : comp)
+                if (trimmed.degree(n) > trimmed.degree(root)) root = n;
+        }
         if (remove_isolated && trimmed.degree(root) <= 2) return;
         parent[root] = root;
         dist_to_root[root] = 0.0;

@@ -367,12 +367,31 @@ class MorseGraph:
         forest = LightGraph()
         parent = {n: None for n in G.nodes}
         dist_to_root = {}
-        order_index = {n: i for i, n in enumerate(G.nodes)}
+        n_total = G.number_of_nodes()
         for comp in G.connected_components():
-            # root = first max-degree node in the graph's insertion order
-            # (nx max(g.degree) semantics over a subgraph view)
-            comp_sorted = sorted(comp, key=order_index.__getitem__)
-            root = max(comp_sorted, key=lambda n: G.degree[n])
+            # root = first max-degree node in nx's subgraph-view iteration
+            # order. FilterAtlas.__iter__ iterates the component SET itself
+            # when 2*len(set) < len(graph) (CPython set order, insertion
+            # sequence = _plain_bfs BFS order, which our BFS reproduces),
+            # and the graph's node order filtered by membership otherwise.
+            # Degree ties across components are common on real rasters —
+            # wrong order here silently changes the branch decomposition.
+            if 2 * len(comp) < n_total:
+                cset = set()
+                for v in comp:
+                    cset.add(v)
+                # nx show_nodes REBUILDS the set from nbunch_iter (a
+                # generator), i.e. element-by-element in the BFS set's own
+                # iteration order with incremental growth — a different
+                # table layout (and thus iteration order) than the BFS
+                # set itself. Emulate exactly: re-add one by one.
+                order = set()
+                for v in cset:
+                    order.add(v)
+            else:
+                member = set(comp)
+                order = [v for v in G.nodes if v in member]
+            root = max(order, key=lambda n: G.degree[n])
             if remove_isolated_branches and G.degree[root] <= 2:
                 continue
             parent[root] = root

@@ -22,7 +22,15 @@ from scipy import ndimage
 
 
 def label(mask: np.ndarray, connectivity: int = 2):
-    """skimage.measure.label: connectivity 1 = cross, 2 = full 3x3."""
+    """skimage.measure.label: connectivity 1 = cross, 2 = full 3x3.
+
+    Native C++ fast path (csrc/labeling.cpp, exact scipy numbering);
+    scipy fallback when no toolchain is available."""
+    from tmat_tpu.topo import labeling_native as ln
+
+    native = ln.label_native(np.asarray(mask), connectivity)
+    if native is not None:
+        return native
     structure = ndimage.generate_binary_structure(2, connectivity)
     labels, n = ndimage.label(np.asarray(mask) > 0, structure=structure)
     return labels, n
@@ -84,7 +92,15 @@ def region_properties(
     but perimeter needs a per-region pass (the border-code convolution
     would mix codes between diagonally adjacent components), so skipping
     it matters on skeleton images with hundreds of components.
+
+    Native C++ fast path computes every requested property in one raster
+    scan (csrc/labeling.cpp); this NumPy body is the fallback/oracle.
     """
+    from tmat_tpu.topo import labeling_native as ln
+
+    native = ln.region_props_native(labels, n_labels, props)
+    if native is not None:
+        return native
     idx = labels.ravel()
     areas = np.bincount(idx, minlength=n_labels + 1)[1:].astype(float)
     out: Dict[str, np.ndarray] = {}
@@ -143,6 +159,14 @@ def regionprops_image(mask: np.ndarray, prop: str) -> np.ndarray:
 def remove_small_objects(labels: np.ndarray, min_size: int) -> np.ndarray:
     """Zero out labeled regions smaller than min_size (skimage semantics:
     regions with size < min_size are removed)."""
+    from tmat_tpu.topo import labeling_native as ln
+
+    if np.issubdtype(labels.dtype, np.integer):
+        native = ln.remove_small_objects_native(
+            labels, int(labels.max(initial=0)), min_size
+        )
+        if native is not None:
+            return native
     out = labels.copy()
     counts = np.bincount(labels.ravel())
     too_small = counts < min_size

@@ -137,6 +137,20 @@ def filter_branch_seg_mask(
     else:
         mask = mask.copy()
 
+    # native one-call path: label + circularity + skeleton fork detection
+    # + apply, all in csrc/labeling.cpp (the NumPy body below is the
+    # fallback/oracle — tests/test_labeling_native.py pins equality)
+    from tmat_tpu.topo import labeling_native as ln
+
+    if ln.available():
+        if precomputed_skeleton is not None:
+            seg_skel = np.asarray(precomputed_skeleton)
+        else:
+            seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
+        native = ln.branch_filter_native(mask, seg_skel, remove_isolated)
+        if native is not None:
+            return native
+
     labeled, n_labels = rp.label(mask, connectivity=2)
     if n_labels == 0:
         return mask
