@@ -39,18 +39,64 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 _BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 
 
-def _emit(metric, value, unit, vs_baseline=None):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(float(value), 4),
-                "unit": unit,
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-            }
-        ),
-        flush=True,
-    )
+def _emit(metric, value, unit, vs_baseline=None, **extra):
+    row = {
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    row.update({k: v for k, v in extra.items() if v is not None})
+    print(json.dumps(row), flush=True)
+
+
+# peak dense-matmul FLOP/s per chip for MFU accounting (bf16 MXU peak;
+# public TPU spec sheets). CPU backend -> no meaningful peak, MFU omitted.
+_TPU_PEAK_FLOPS = {
+    "v6e": 918e12,
+    "v5p": 459e12,
+    "v5e": 197e12,
+    "v5litepod": 197e12,
+    "v4": 275e12,
+}
+
+
+def _peak_flops():
+    import jax
+
+    d = jax.devices()[0]
+    if d.platform == "cpu":
+        return None
+    kind = (getattr(d, "device_kind", "") or "").lower().replace(" ", "")
+    for key, val in _TPU_PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    # axon tunnel reports a generic kind; the pool is v5e here
+    if os.environ.get("PALLAS_AXON_TPU_GEN", "").lower() in ("v5e", "v5litepod"):
+        return _TPU_PEAK_FLOPS["v5e"]
+    return None
+
+
+def _compiled_flops(jitted, *args):
+    """FLOPs of a compiled program from XLA's cost analysis, or None."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if not ca:
+            return None
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops, seconds):
+    """Model FLOPs utilization vs the chip's bf16 peak, or None off-TPU."""
+    peak = _peak_flops()
+    if peak is None or flops is None or not seconds:
+        return None
+    return round(flops / seconds / peak, 4)
 
 
 def _timeit(fn, repeats=3):
@@ -141,11 +187,53 @@ def bench_inv_depth(rng):
         x = prep_inv_depth_imgs(stack, (256, 256))
         jax.block_until_ready(ensemble_apply(stacked, x))
 
+    x_example = prep_inv_depth_imgs(stack, (256, 256))
+    flops = _compiled_flops(ensemble_apply, stacked, x_example)
     dt = _timeit(run)
     _emit(
         "inv_depth",
         n_slices / dt,
         f"slices/sec (prep + {n_members}-member ResNet ensemble, 256px)",
+        mfu=_mfu(flops, dt),
+    )
+
+
+def bench_unet_forward(rng):
+    """Isolated production UNet forward (patch 320, filters 64-512) at
+    batch 200 — the single hottest kernel of the plate pipeline; reports
+    MFU vs the chip's bf16 peak (VERDICT r2 weak #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmat_tpu.models import default_infer_dtype
+    from tmat_tpu.models.unet import build_unet_xception
+
+    dtype = default_infer_dtype()
+    batch, patch = 200, 320
+    model, variables = build_unet_xception(
+        1, (patch, patch), channels=1, filter_counts=(64, 128, 256, 512),
+        dtype=dtype,
+    )
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    xs = [
+        jnp.asarray(rng.rand(batch, patch, patch, 1), jnp.float32)
+        for _ in range(4)
+    ]
+    flops = _compiled_flops(fwd, variables, xs[0])
+
+    jax.block_until_ready(fwd(variables, xs[0]))  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    outs = [fwd(variables, xs[1 + i]) for i in range(reps)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / reps
+    _emit(
+        "unet_forward",
+        batch / dt,
+        "imgs/sec (UNet fwd, patch 320, filters 64-512, batch 200)",
+        mfu=_mfu(flops, dt),
+        flops_per_batch=flops,
     )
 
 
@@ -176,6 +264,7 @@ def bench_train_step(rng):
     ]
     y = jnp.asarray(rng.rand(batch, patch, patch, 1) > 0.5, jnp.float32)
 
+    flops = _compiled_flops(step, state, xs[0], y)
     state, _ = step(state, xs[0], y)  # compile
     jax.block_until_ready(state.params)
     t0 = time.perf_counter()
@@ -188,6 +277,7 @@ def bench_train_step(rng):
         "unet_train_step",
         batch / dt,
         "imgs/sec (weighted-BCE fwd+bwd+adamw+BN, patch 320, batch 16)",
+        mfu=_mfu(flops, dt),
     )
 
 
@@ -293,6 +383,8 @@ def main():
         bench_inv_depth(rng)
     if "branches_3d" not in args.skip:
         bench_branches_3d(rng)
+    if "unet_forward" not in args.skip:
+        bench_unet_forward(rng)
     if "train" not in args.skip:
         bench_train_step(rng)
     if "plate" not in args.skip:

@@ -476,6 +476,10 @@ def _save_morse_vis(morse_graph, vis_dir, tuned_str, original_image, img_dsamp_r
 
 
 def main(args=None, argv=None):
+    from tmat_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
     arg_defaults = {"default_config_path": default_config_path}
 

@@ -60,6 +60,10 @@ def mask_and_threshold(img, sd_coef, well_mask=None) -> np.ndarray:
 
 
 def main(args=None, argv=None):
+    from tmat_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     """Computes cell area and saves to output directory."""
     default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
     if args is None:

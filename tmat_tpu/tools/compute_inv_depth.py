@@ -57,6 +57,10 @@ def _rank_models_by_history(ensemble_dir: Path, n_models: int) -> np.ndarray:
 
 
 def main(args=None, argv=None):
+    from tmat_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
     if args is None:
         args = su.parse_inv_depth_args(

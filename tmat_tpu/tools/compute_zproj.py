@@ -23,6 +23,10 @@ from tmat_tpu.tools import args as su
 
 
 def main(args=None, argv=None):
+    from tmat_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     """Computes z projections and saves to output directory."""
     if args is None:
         args = su.parse_zproj_args(argv)

@@ -443,6 +443,10 @@ def _well_loader(img_paths, decode_workers: int = 4, ahead: int = 8):
 
 
 def main(args=None, argv=None):
+    from tmat_tpu.core.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("in_root", type=str)
     p.add_argument("out_root", type=str)
