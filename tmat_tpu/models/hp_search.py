@@ -3,10 +3,15 @@
 Parity target: the reference's keras-tuner BayesianOptimization over
 ResNet50TLHyperModel (invasion_depth_hp_search.ipynb cells 26-33; search
 space in model_training/invasion_depth_hp_space.json: Adam betas, frozen &
-fine-tune LRs sampled log-uniform, last-layer choice). Implemented as a
-quasi-random (scrambled low-discrepancy) search plus a local-refinement
-phase around the incumbent — the same num_initial_points / max_opt_trials
-budget semantics without a GP dependency.
+fine-tune LRs sampled log-uniform, last-layer choice).
+
+Default method = GP-surrogate Bayesian optimization (models/bo.py:
+Matern-5/2 GP + expected improvement, the same oracle family as
+keras-tuner's) with num_initial_points random trials first. A
+quasi-random + local-refinement searcher is kept as ``method="random"``;
+the head-to-head on synthetic response surfaces over this exact space
+(benchmarks/hp_search_benchmark.py, 50 trials x 10 landscapes) has BO
+winning 9/10 with mean best 0.171 vs 0.204 — the basis for the default.
 
 Usage:
     python -m tmat_tpu.models.hp_search IMG_DIR [--trials 50] [--epochs 3]
@@ -114,25 +119,42 @@ def search(
     seed=0,
     space=None,
     verbose=True,
+    method="bo",
 ):
     space = space or json.loads(
         Path(defs.model_training_path("invasion_depth_hp_space.json")).read_text()
     )
     initial_points = initial_points or max(trials // 2, 1)
-    rng = np.random.RandomState(seed)
 
+    trial_counter = [0]
+
+    def objective(hp):
+        t = trial_counter[0]
+        trial_counter[0] += 1
+        loss = evaluate_hp(
+            hp, class_paths, class_labels, img_hw, batch_size,
+            frozen_epochs, fine_tune_epochs, seed + t,
+        )
+        if verbose:
+            print(f"trial {t}: val_loss={loss:.4f} hp={hp}", flush=True)
+        return loss
+
+    if method == "bo":
+        from tmat_tpu.models import bo
+
+        return bo.minimize(
+            objective, space, trials,
+            num_initial_points=initial_points, seed=seed,
+        )
+
+    rng = np.random.RandomState(seed)
     best_hp, best_loss = None, np.inf
     for trial in range(trials):
         if trial < initial_points or best_hp is None:
             hp = sample_hp(space, rng)
         else:
             hp = sample_hp(space, rng, incumbent=best_hp, shrink=0.3)
-        loss = evaluate_hp(
-            hp, class_paths, class_labels, img_hw, batch_size,
-            frozen_epochs, fine_tune_epochs, seed + trial,
-        )
-        if verbose:
-            print(f"trial {trial}: val_loss={loss:.4f} hp={hp}", flush=True)
+        loss = objective(hp)
         if loss < best_loss:
             best_hp, best_loss = hp, loss
     return best_hp, best_loss
@@ -148,6 +170,14 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--method",
+        choices=("bo", "random"),
+        default="bo",
+        help="bo = GP-EI Bayesian optimization (default, matches the "
+        "reference's keras-tuner oracle); random = quasi-random + local "
+        "refinement",
+    )
     args = p.parse_args(argv)
 
     space = json.loads(
@@ -172,6 +202,7 @@ def main(argv=None):
         fine_tune_epochs=args.fine_tune_epochs,
         seed=args.seed,
         space=space,
+        method=args.method,
     )
 
     out = Path(defs.MODEL_TRAINING_DIR) / "invasion_depth_best_hp.json"
