@@ -33,11 +33,21 @@ from pathlib import Path
 from tmat_tpu.core import defs
 
 _LAUNCHER = """#!/usr/bin/env bash
-# Relocatable launcher: run the bundled tmat_tpu with the host's Python.
+# Relocatable launcher. Interpreter preference order:
+#   1. TMAT_TPU_PYTHON (explicit override)
+#   2. the bundled standalone runtime (runtime/bin/python3), if present
+#   3. the host's python3
 # The bundle path travels via the environment, never spliced into code —
 # paths with quotes/spaces stay paths instead of becoming Python syntax.
 HERE="$(cd "$(dirname "${{BASH_SOURCE[0]}}")" && pwd)"
-TMAT_TPU_BUNDLE_DIR="$HERE" exec "${{TMAT_TPU_PYTHON:-python3}}" -c "
+PY="${{TMAT_TPU_PYTHON:-}}"
+if [ -z "$PY" ] && [ -x "$HERE/runtime/bin/python3" ]; then
+    PY="$HERE/runtime/bin/python3"
+    export PYTHONHOME="$HERE/runtime"
+    unset PYTHONPATH
+fi
+PY="${{PY:-python3}}"
+TMAT_TPU_BUNDLE_DIR="$HERE" exec "$PY" -c "
 import os
 import sys
 sys.path.insert(0, os.environ['TMAT_TPU_BUNDLE_DIR'])
@@ -45,6 +55,52 @@ from {module} import main
 sys.exit(main() or 0)
 " "$@"
 """
+
+# site-packages closure for the standalone runtime: tmat_tpu's imports
+# plus their transitive runtime deps (CPU jax stack; no TPU plugin — the
+# desktop/standalone case is exactly the one with no accelerator runtime
+# provisioned, mirroring the reference's CPU TensorFlow freeze).
+_RUNTIME_PACKAGES = (
+    "jax",
+    "jaxlib",
+    "numpy",
+    "numpy.libs",
+    "scipy",
+    "scipy.libs",
+    "ml_dtypes",
+    "opt_einsum",
+    "flax",
+    "msgpack",
+    "optax",
+    "chex",
+    "absl",
+    "PIL",
+    "pillow.libs",
+    "networkx",
+    "matplotlib",
+    "matplotlib.libs",
+    "mpl_toolkits",
+    "pylab.py",
+    "cycler",
+    "dateutil",
+    "six.py",
+    "kiwisolver",
+    "pyparsing",
+    "packaging",
+    "fontTools",
+    "contourpy",
+    "toolz",
+    "etils",
+    "importlib_resources",
+    "rich",
+    "treescope",
+    "typing_extensions.py",
+    "markdown_it",
+    "mdurl",
+    "pygments",
+    "yaml",
+    "_yaml",
+)
 
 _README = """tmat-tpu one-dir application bundle
 ===================================
@@ -54,19 +110,81 @@ Relocatable: move or copy this directory anywhere and run
     ./tmat              # CLI (interactive menu, or ./tmat SUBCOMMAND ...)
     ./tmat-gui          # tkinter GUI
 
-Host requirements (NOT bundled, by design — the accelerator stack is
-provisioned per TPU host): Python >= 3.11 with jax, flax, optax, numpy,
-pillow, scipy. Set TMAT_TPU_PYTHON to choose the interpreter.
+Interpreter: if a runtime/ directory is present (bundle built with
+--standalone), the launchers use the embedded CPython + CPU jax stack and
+the bundle needs NO Python installed on the machine (glibc only). Without
+runtime/, the host needs Python >= 3.11 with jax, flax, optax, numpy,
+pillow, scipy; set TMAT_TPU_PYTHON to choose the interpreter (a TPU
+deployment host has the jax/libtpu stack provisioned anyway).
 
 Contents:
     tmat_tpu/        package source
     config/          default tool configs (JSON)
     model_training/  UNet segmentor checkpoint + invasion-depth ensemble
                      weights, histories, and HP metadata
+    runtime/         (--standalone only) embedded CPython + site-packages
 """
 
 
-def build_bundle(out_dir, force: bool = False) -> Path:
+def _copy_runtime(out: Path) -> None:
+    """Embed a standalone CPython runtime + the site-packages closure.
+
+    Copies the running interpreter's binary, libpython and stdlib into
+    ``runtime/`` (the binary's RUNPATH resolves libpython relative to
+    ``bin/../lib``, so the copied tree is relocatable), then the curated
+    subset of site-packages tmat_tpu needs. The result runs on a machine
+    with no Python installed (glibc is the only host requirement, as with
+    any manylinux build) — frozen-app parity with
+    gui/pyinstaller_build.spec, which ships CPython+TF the same way.
+    """
+    import sysconfig
+
+    base = Path(sys.base_prefix)
+    stdlib = Path(sysconfig.get_paths()["stdlib"])
+    runtime = out / "runtime"
+    (runtime / "bin").mkdir(parents=True)
+
+    real_python = Path(sys.executable).resolve()
+    shutil.copy2(real_python, runtime / "bin" / "python3")
+
+    libdir = runtime / "lib"
+    libdir.mkdir()
+    for lib in (base / "lib").glob("libpython*"):
+        if lib.is_file() and not lib.is_symlink():
+            shutil.copy2(lib, libdir / lib.name)
+        elif lib.is_symlink():
+            target = lib.resolve()
+            if target.is_file():
+                shutil.copy2(target, libdir / lib.name)
+
+    shutil.copytree(
+        stdlib,
+        libdir / stdlib.name,
+        ignore=shutil.ignore_patterns(
+            "__pycache__", "test", "tests", "idlelib", "tkinter.bak"
+        ),
+    )
+
+    site_src = Path(sysconfig.get_paths()["purelib"])
+    site_dst = libdir / stdlib.name / "site-packages"
+    site_dst.mkdir(parents=True, exist_ok=True)
+    missing = []
+    for name in _RUNTIME_PACKAGES:
+        src = site_src / name
+        if src.is_dir():
+            shutil.copytree(
+                src, site_dst / name,
+                ignore=shutil.ignore_patterns("__pycache__"),
+            )
+        elif src.is_file():
+            shutil.copy2(src, site_dst / name)
+        else:
+            missing.append(name)
+    if missing:
+        print(f"runtime packages not found (skipped): {missing}")
+
+
+def build_bundle(out_dir, force: bool = False, standalone: bool = False) -> Path:
     """Assemble the one-dir bundle; returns the bundle path."""
     out = Path(out_dir).expanduser().resolve()
     if out.exists():
@@ -92,6 +210,9 @@ def build_bundle(out_dir, force: bool = False) -> Path:
     if Path(defs.PKG_MODEL_DIR).is_dir():
         shutil.copytree(defs.PKG_MODEL_DIR, out / "model_training")
 
+    if standalone:
+        _copy_runtime(out)
+
     for name, module in (("tmat", "tmat_tpu.cli"), ("tmat-gui", "tmat_tpu.gui")):
         launcher = out / name
         launcher.write_text(_LAUNCHER.format(module=module))
@@ -105,8 +226,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("out_dir", type=str)
     p.add_argument("--force", action="store_true")
+    p.add_argument(
+        "--standalone",
+        action="store_true",
+        help="embed a CPython runtime + CPU jax stack so the bundle runs "
+        "on machines with no Python installed (frozen-app parity)",
+    )
     args = p.parse_args(argv)
-    out = build_bundle(args.out_dir, force=args.force)
+    out = build_bundle(args.out_dir, force=args.force, standalone=args.standalone)
     size_mb = sum(
         f.stat().st_size for f in out.rglob("*") if f.is_file()
     ) / 1e6
