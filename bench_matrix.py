@@ -154,7 +154,7 @@ def bench_inv_depth(rng):
     import jax
 
     from tmat_tpu.core import defs
-    from tmat_tpu.models.preprocess import prep_inv_depth_imgs
+    from tmat_tpu.models.preprocess import prep_inv_depth_imgs_hybrid
     from tmat_tpu.models.params_io import load_params
     from tmat_tpu.models.resnet import (
         build_resnet50_tl,
@@ -178,22 +178,19 @@ def bench_inv_depth(rng):
         )
     stacked = stack_ensemble_variables(member_vars)
     ensemble_apply = make_ensemble_apply(model)
-    # native microscopy dtype: H2D through this TPU stack is bandwidth-
-    # bound, so transferring uint8 (cast to f32 on device inside prep)
-    # is 4x faster than a host-side float32 cast
     stack = (rng.rand(n_slices, 700, 700) * 255).astype(np.uint8)
 
     def run():
-        x = prep_inv_depth_imgs(stack, (256, 256))
+        x = prep_inv_depth_imgs_hybrid(stack, (256, 256))
         jax.block_until_ready(ensemble_apply(stacked, x))
 
-    x_example = prep_inv_depth_imgs(stack, (256, 256))
+    x_example = prep_inv_depth_imgs_hybrid(stack, (256, 256))
     flops = _compiled_flops(ensemble_apply, stacked, x_example)
     dt = _timeit(run)
     _emit(
         "inv_depth",
         n_slices / dt,
-        f"slices/sec (prep + {n_members}-member ResNet ensemble, 256px)",
+        f"slices/sec (host-lanczos4 prep + {n_members}-member ResNet ensemble, 256px)",
         mfu=_mfu(flops, dt),
     )
 

@@ -44,3 +44,33 @@ def prep_inv_depth_imgs(images: jax.Array, img_hw: Tuple[int, int]) -> jax.Array
     rescaled = jax.vmap(lambda im: rescale_intensity(im, out_range=(0, 255)))(resized)
     three_ch = jnp.repeat(rescaled[..., None], 3, axis=-1)
     return resnet50_preprocess(three_ch)
+
+
+@jax.jit
+def _prep_resized(resized: jax.Array) -> jax.Array:
+    """Device tail of the hybrid prep: per-slice 0-255 rescale, 3-channel
+    replication, caffe-mode normalization (data_prep.py:36-61)."""
+    rescaled = jax.vmap(lambda im: rescale_intensity(im, out_range=(0, 255)))(
+        resized.astype(jnp.float32)
+    )
+    three_ch = jnp.repeat(rescaled[..., None], 3, axis=-1)
+    return resnet50_preprocess(three_ch)
+
+
+def prep_inv_depth_imgs_hybrid(images, img_hw: Tuple[int, int]) -> jax.Array:
+    """prep_inv_depth_imgs with the Lanczos-4 resize on the HOST.
+
+    2.2x the ingest throughput on the profiled TPU stack (the device
+    resize program + its dispatch dominated the current path; BASELINE.md
+    round-3 H2D section) and exactly the cv2 INTER_LANCZOS4 kernel the
+    reference uses (resize_lanczos4_host). The device still does the
+    rescale/replicate/normalize tail in one fused program.
+    """
+    import numpy as np
+
+    from tmat_tpu.ops.resize import resize_lanczos4_host
+
+    images = np.asarray(images)
+    if images.ndim == 2:
+        images = images[None]
+    return _prep_resized(resize_lanczos4_host(images, tuple(img_hw)))

@@ -52,6 +52,47 @@ def resize(
     return resized.astype(dtype)
 
 
+def _lanczos_weight_matrix(in_size: int, out_size: int, a: int = 4):
+    """Separable antialiased Lanczos-a weight matrix (out_size, in_size).
+
+    Same sampling convention as jax.image.resize (pixel centers aligned,
+    kernel stretched by the scale factor when downsampling, rows
+    normalized to 1) but with the true a=4 kernel cv2 INTER_LANCZOS4
+    uses — the device path approximates it with jax's lanczos5.
+    """
+    import numpy as np
+
+    scale = out_size / in_size
+    stretch = max(1.0 / scale, 1.0)
+    coord = (np.arange(out_size) + 0.5) / scale - 0.5
+    x = (np.arange(in_size)[None, :] - coord[:, None]) / stretch
+    with np.errstate(invalid="ignore"):
+        w = np.where(np.abs(x) < a, np.sinc(x) * np.sinc(x / a), 0.0)
+    w /= np.sum(w, axis=1, keepdims=True)
+    return w.astype(np.float32)
+
+
+def resize_lanczos4_host(stack, shape: Tuple[int, int]):
+    """Host-side batched Lanczos-4 resize of (..., H, W) via two GEMMs.
+
+    For ingest-bound tools the resize belongs on the host: the profiled
+    TPU tunnel spends more wall on the device resize program + its
+    dispatch than two BLAS GEMMs cost locally (BASELINE.md round-3 H2D
+    section), and shipping the already-resized f32 slices halves the
+    transferred bytes. Numerically this is the cv2 INTER_LANCZOS4 kernel
+    (the reference's data_prep.py:35 resize), closer to the reference
+    than the device lanczos5 approximation.
+    """
+    import numpy as np
+
+    stack = np.asarray(stack, np.float32)
+    h, w = shape
+    wh = _lanczos_weight_matrix(stack.shape[-2], h)
+    ww = _lanczos_weight_matrix(stack.shape[-1], w)
+    tmp = np.matmul(wh, stack)  # (..., h, W)
+    return np.matmul(tmp, ww.T)  # (..., h, w)
+
+
 def target_shape_for_ratio(shape: Tuple[int, int], ratio: float) -> Tuple[int, int]:
     """round(shape * ratio) — the reference's target-size rule
     (models.py:627-629, compute_branches.py:309-311)."""

@@ -25,7 +25,7 @@ import numpy as np
 
 from tmat_tpu.core import defs, io as tio
 from tmat_tpu.core.log import SFM, section_footer, section_header
-from tmat_tpu.models.preprocess import prep_inv_depth_imgs
+from tmat_tpu.models.preprocess import prep_inv_depth_imgs_hybrid
 from tmat_tpu.models.resnet import (
     build_resnet50_tl,
     make_ensemble_apply,
@@ -151,12 +151,10 @@ def main(args=None, argv=None):
     inv_pred_col = "Invasion Prediction (0=no 1=yes)"
     rows = []
 
-    # Async dispatch with a bounded window (native-dtype H2D — the cast
-    # to f32 happens on device inside prep; a host-side float32 cast
-    # would quadruple the transfer, which dominates this tool's runtime):
-    # stack i+k's transfer and prep overlap stack i's forwards, while at
-    # most MAX_IN_FLIGHT stacks' inputs stay alive on device (an
-    # unbounded queue would hold every stack's buffers on a slow backend)
+    # Async dispatch with a bounded window: stack i+k's host resize,
+    # transfer and prep overlap stack i's forwards, while at most
+    # MAX_IN_FLIGHT stacks' inputs stay alive on device (an unbounded
+    # queue would hold every stack's buffers on a slow backend)
     from collections import deque
 
     MAX_IN_FLIGHT = 8
@@ -182,7 +180,10 @@ def main(args=None, argv=None):
         except OSError as error:
             print(f"{SFM.failure}{error}", flush=True)
             sys.exit(1)
-        x = prep_inv_depth_imgs(np.asarray(img), resnet_inp_shape[:-1])
+        # host Lanczos-4 resize (the reference's cv2 kernel) + fused
+        # device tail: 2.2x ingest throughput over the all-device prep
+        # on the profiled TPU stack (BASELINE.md round-3)
+        x = prep_inv_depth_imgs_hybrid(np.asarray(img), resnet_inp_shape[:-1])
         # (k, Z, 1) member predictions -> mean over members
         pending.append((zstack_id, ensemble_apply(stacked, x)))
         if len(pending) >= MAX_IN_FLIGHT:
