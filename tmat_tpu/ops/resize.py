@@ -86,11 +86,17 @@ def resize_lanczos4_host(stack, shape: Tuple[int, int]):
     import numpy as np
 
     stack = np.asarray(stack, np.float32)
+    lead = stack.shape[:-2]
+    H, W = stack.shape[-2:]
     h, w = shape
-    wh = _lanczos_weight_matrix(stack.shape[-2], h)
-    ww = _lanczos_weight_matrix(stack.shape[-1], w)
-    tmp = np.matmul(wh, stack)  # (..., h, W)
-    return np.matmul(tmp, ww.T)  # (..., h, w)
+    wh = _lanczos_weight_matrix(H, h)
+    ww = _lanczos_weight_matrix(W, w)
+    # two single large GEMMs (threaded BLAS) instead of a batched matmul
+    # loop: fold the batch into the free dimension each time
+    flat = stack.reshape(-1, H, W)
+    t1 = (wh @ flat.transpose(1, 0, 2).reshape(H, -1)).reshape(h, -1, W)
+    t2 = np.ascontiguousarray(t1.transpose(1, 0, 2)).reshape(-1, W) @ ww.T
+    return t2.reshape(*lead, h, w)
 
 
 def target_shape_for_ratio(shape: Tuple[int, int], ratio: float) -> Tuple[int, int]:
