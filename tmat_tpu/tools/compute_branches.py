@@ -145,6 +145,67 @@ def _region_expansion(mask: jnp.ndarray, vessels: jnp.ndarray, iters: int = 10):
     return jax.lax.fori_loop(0, iters, body, mask)
 
 
+@partial(jax.jit, static_argnames=("target_shape",))
+def _stack_vesselness(img, target_shape):
+    """Fused device head of the 3-D path: blur -> resize -> rescale ->
+    pairwise slice max -> Sato scales -> unsharp -> vessels/canny/
+    skeleton, ONE program. The unfused chain cost ~300ms of per-op
+    dispatch + small-program latency per stack through the TPU tunnel
+    (round-3 stage profile); fused it is a single dispatch."""
+    stack = jnp.asarray(img, jnp.float32)
+    stack = gaussian(stack, sigma=1.0, mode="nearest")
+    stack = resize(stack, target_shape, "linear")
+    stack = rescale_intensity(stack, out_range=(0, 1))
+    pairs = jnp.maximum(stack[:-1], stack[1:])
+    img_vess = sato(pairs)
+    img_vess_sharp = unsharp_mask_nd(img_vess, 2.0, 2.0)
+    vessels = jnp.max(img_vess_sharp, axis=0)
+    edges = canny(vessels, sigma=0)
+    skel = morph.skeletonize(edges)
+    return vessels, edges, skel
+
+
+@jax.jit
+def _stack_expand(mask, vessels, edges):
+    """Fused middle: 3 edge-blur iterations + 10-iteration region
+    expansion + edge subtraction + disk(2) closing (compute_branches.py:
+    281-297 reference semantics), one program."""
+    mask = mask.astype(bool)
+    for _ in range(3):
+        vessels_blur = gaussian(vessels, 1.0, mode="nearest")
+        vessels = jnp.where(mask, vessels_blur, vessels)
+    m = _region_expansion(mask, vessels, iters=10)
+    m = m & ~edges.astype(bool)
+    return morph.binary_closing(m, morph.disk(2))
+
+
+@jax.jit
+def _stack_final(vessels_mask, vessels):
+    """Fused tail: dilate the filtered mask, re-apply vesselness, final
+    Gaussian (compute_branches.py:299-306)."""
+    out = jnp.where(
+        morph.binary_dilation(vessels_mask.astype(bool), morph.square(3)),
+        vessels,
+        0.0,
+    )
+    return gaussian(out, 1.0, mode="nearest")
+
+
+def _ecc_diameter_filter(skel_np: np.ndarray, thresh: float = 3.5) -> np.ndarray:
+    """Drop skeleton components with eccentricity * equivalent diameter
+    <= thresh (compute_branches.py:276-279) — one labeling pass feeding
+    both properties (native C++ engine when available)."""
+    labels, n = rp.label(skel_np)
+    if n == 0:
+        return np.zeros_like(skel_np)
+    props = rp.region_properties(
+        labels, n, props=("eccentricity", "equivalent_diameter_area")
+    )
+    keep = props["eccentricity"] * props["equivalent_diameter_area"] > thresh
+    lut = np.concatenate(([False], keep))
+    return np.where(lut[labels], skel_np, 0)
+
+
 def analyze_img(
     img_id: str,
     img_files: Union[str, list],
@@ -217,44 +278,24 @@ def analyze_img(
             shrunken = np.full(img_dsamp_res, True)
         pruning_mask = np.logical_not(shrunken)
 
-        stack = jnp.asarray(img, jnp.float32)
-        stack = gaussian(stack, sigma=1.0, mode="nearest")
-        stack = resize(stack, img_dsamp_res, "linear")
-        stack = rescale_intensity(stack, out_range=(0, 1))
-
-        # pairwise max of consecutive slices, all scales in one jit
-        pairs = jnp.maximum(stack[:-1], stack[1:])
         print("Processing slices...", flush=True)
-        img_vess = sato(pairs)
+        # three fused device programs with two host interludes (the
+        # label-dependent component filters); each interlude fetches one
+        # 384px raster — the previous per-op chain paid ~8 dispatches +
+        # fetches per stack and was latency-bound through the TPU tunnel
+        vessels, edges, skel = _stack_vesselness(img, img_dsamp_res)
 
-        img_vess_sharp = unsharp_mask_nd(img_vess, 2.0, 2.0)
-        vessels = jnp.max(img_vess_sharp, axis=0)
-        edges = canny(vessels, sigma=0)
+        mask_np = _ecc_diameter_filter(np.asarray(skel).astype(np.uint8))
 
-        mask = morph.skeletonize(edges)
-        mask_np = np.asarray(mask)
-        eccentricity = rp.regionprops_image(mask_np, "eccentricity")
-        circ_diam = rp.regionprops_image(mask_np, "equivalent_diameter_area")
-        mask = jnp.asarray(np.where(eccentricity * circ_diam > 3.5, mask_np, 0)) > 0
-
-        for _ in range(3):  # edge blur iterations
-            vessels_blur = gaussian(vessels, 1.0, mode="nearest")
-            vessels = jnp.where(mask, vessels_blur, vessels)
-
-        mask = _region_expansion(mask, vessels, iters=10)
-        mask = mask & ~edges
-        vessels_mask = morph.binary_closing(mask, morph.disk(2))
+        vessels_mask = _stack_expand(jnp.asarray(mask_np > 0), vessels, edges)
 
         vessels_mask = filter_branch_seg_mask(
             np.asarray(vessels_mask).astype(np.uint8), None, False
         )
 
-        vessels = jnp.where(
-            morph.binary_dilation(jnp.asarray(vessels_mask > 0), morph.square(3)),
-            jnp.max(img_vess_sharp, axis=0),
-            0.0,
+        analysis_img = np.asarray(
+            _stack_final(jnp.asarray(vessels_mask > 0), vessels)
         )
-        analysis_img = np.asarray(gaussian(vessels, 1.0, mode="nearest"))
         sv(analysis_img, vis_dir, "vesselness_image.png")
     else:
         # --- 2-D image: UNet patch segmentation (fused tiled inference) ---
