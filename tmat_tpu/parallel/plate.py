@@ -37,6 +37,29 @@ def _data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def packbits_device(x: jax.Array) -> jax.Array:
+    """(..., W) bool -> (..., ceil(W/8)) uint8, np.unpackbits bit order.
+
+    The plate postprocess fetches two boolean rasters per chunk; D2H
+    through the TPU tunnel is the postprocess bottleneck (round-3 stage
+    split), and packing on device cuts those bytes 8x with exact-bit
+    round-tripping (unpack with np.unpackbits(..., axis=-1)[..., :W])."""
+    w = x.shape[-1]
+    pad = (-w) % 8
+    if pad:
+        x = jnp.pad(x.astype(jnp.uint8), [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    b = x.astype(jnp.uint8).reshape(*x.shape[:-1], -1, 8).astype(jnp.int32)
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return (b * weights).sum(-1).astype(jnp.uint8)
+
+
+def unpackbits_device(packed: jax.Array, w: int) -> jax.Array:
+    """Inverse of packbits_device on device: (..., W/8) uint8 -> (..., w) bool."""
+    shifts = jnp.array([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], -1)[..., :w].astype(bool)
+
+
 def _cached(key: Tuple, build: Callable[[], Callable]) -> Callable:
     # locked: plate streaming dispatches chunks from pool threads, and a
     # build race would pay a duplicate remote XLA compile
@@ -213,7 +236,10 @@ def plate_stage1(
             seg = (preds > 0.5).astype(jnp.float32)
             filtered = _median_filter_disk2_batch(seg) > 0.5
             skels = jax.vmap(_morph.skeletonize)(filtered)
-            return areas, preds, filtered, skels
+            # bit-packed for the host fetch (packbits_device docstring);
+            # stage2 re-consumes the DEVICE-resident filtered/skels via
+            # the host-filtered mask, so only the packed copies move
+            return areas, preds, packbits_device(filtered), packbits_device(skels)
 
         return jax.jit(
             chunk_fn,
@@ -255,18 +281,25 @@ def plate_stage2(
     """Centerline-relative distance weighting + downsample, one program.
 
     masks are the component-filtered segmentation masks (host stage);
-    skels_pre the pre-filter skeletons (component filtering only removes
-    whole components, so the filtered skeleton is skels_pre & masks).
-    Returns preds * dist/(dist+centerline_dt) resized to ``dsamp``.
+    skels_pre the pre-filter skeletons — either a bool raster or the
+    bit-packed uint8 form plate_stage1 returns (component filtering only
+    removes whole components, so the filtered skeleton is
+    skels_pre & masks). Returns preds * dist/(dist+centerline_dt)
+    resized to ``dsamp``.
     """
     from tmat_tpu.ops.distance import edt_batch as _edt_batch
     from tmat_tpu.ops.resize import resize as _resize
 
     sharding = _data_sharding(mesh)
+    w = preds.shape[-1]
+    packed = skels_pre.dtype == jnp.uint8 and skels_pre.shape[-1] != w
 
     def build():
         def fn(preds, masks, skels_pre):
-            skels = skels_pre & masks
+            skels = skels_pre
+            if packed:
+                skels = unpackbits_device(skels, w)
+            skels = skels & masks
             dist = _edt_batch(masks)
             cdt = _edt_batch(~skels)
             rel = dist / jnp.maximum(dist + cdt, 1e-12)
@@ -278,7 +311,7 @@ def plate_stage2(
             out_shardings=sharding,
         )
 
-    fn = _cached(("stage2", mesh, preds.shape, dsamp), build)
+    fn = _cached(("stage2", mesh, preds.shape, dsamp, packed), build)
     return fn(
         jax.device_put(preds, sharding),
         jax.device_put(masks, sharding),

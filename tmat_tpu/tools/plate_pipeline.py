@@ -94,9 +94,13 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
     from tmat_tpu.parallel.plate import plate_stage2
 
     a, p, f, s = chunk_arrays
+    w = p.shape[-1]
     with timer.stage("postprocess"):
-        f_np = np.asarray(f)
-        s_np = np.asarray(s)
+        # f/s arrive bit-packed (parallel/plate.packbits_device): the D2H
+        # fetch of the boolean rasters was the postprocess bottleneck
+        # through the tunnel; unpack restores the exact bits
+        f_np = np.unpackbits(np.asarray(f), axis=-1)[..., :w].astype(bool)
+        s_np = np.unpackbits(np.asarray(s), axis=-1)[..., :w].astype(bool)
         # component filtering needs labels -> host. The centerline
         # skeleton of the FILTERED masks equals the precomputed skeleton
         # restricted to surviving pixels (component filtering removes
