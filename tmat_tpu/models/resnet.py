@@ -176,3 +176,26 @@ def make_ensemble_apply(model: ResNet50TL):
         return model.apply(variables, x, train=False)
 
     return jax.jit(jax.vmap(single, in_axes=(0, None)))
+
+
+def make_ensemble_predict_fused(model: ResNet50TL, img_hw):
+    """ONE device program per stack: slice preprocessing (lanczos resize,
+    per-slice 0-255 rescale, 3-channel replication, caffe normalization —
+    models/preprocess.py semantics) fused with the vmapped ensemble
+    forward. The raw (Z, H, W) stack transfers in its native integer
+    dtype; a single dispatch replaces the prep + apply pair (per-program
+    dispatch latency is material through remote TPU runtimes)."""
+
+    from tmat_tpu.models.preprocess import prep_inv_depth_imgs
+
+    img_hw = tuple(img_hw)
+
+    def single(variables, x):
+        return model.apply(variables, x, train=False)
+
+    @jax.jit
+    def fused(stacked_vars, raw_stack):
+        x = prep_inv_depth_imgs(raw_stack, img_hw)
+        return jax.vmap(single, in_axes=(0, None))(stacked_vars, x)
+
+    return fused

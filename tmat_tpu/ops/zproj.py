@@ -139,3 +139,34 @@ def proj_masked(
         best_z = jnp.argmax(sharpness, axis=0)
         return jnp.take_along_axis(x, best_z[None], axis=0)[0]
     raise ValueError(f"Unknown projection method: {method}")
+
+
+def proj_host(stack, method: str):
+    """Host-side projection of an UNPADDED (Z, H, W) stack.
+
+    Matches ``proj_masked``'s f32 numerics bit-for-bit on integer-valued
+    microscopy data (max/min are exact order statistics; avg's f32 sum of
+    uint8/uint16 slices is exact below 2^24 so the single f32 division
+    agrees; med is the mean of the two middle order statistics in f32).
+    Used by the plate streaming producer to reduce during decode —
+    transferring a (H, W) projection instead of the (Z, H, W) stack cuts
+    H2D bytes 8x on typical depths, and transfer bandwidth (not the
+    reduce) is the plate bottleneck on slow links. ``fs`` is device-only
+    (it needs the blur/Laplacian convolutions); callers fall back to
+    shipping the full stack for it.
+    """
+    import numpy as np
+
+    x = np.asarray(stack)
+    if method == "max":
+        return x.max(axis=0)  # input dtype: exact, smallest transfer
+    if method == "min":
+        return x.min(axis=0)
+    x = x.astype(np.float32, copy=False)
+    if method == "avg":
+        return x.sum(axis=0, dtype=np.float32) / np.float32(x.shape[0])
+    if method == "med":
+        s = np.sort(x, axis=0)
+        z = x.shape[0]
+        return (s[(z - 1) // 2] + s[z // 2]) / np.float32(2.0)
+    raise ValueError(f"proj_host does not support method: {method}")

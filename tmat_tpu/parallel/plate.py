@@ -181,6 +181,7 @@ def plate_stage1(
     wm_small: Optional[jax.Array] = None,
     proj_method: str = "max",
     z_counts: Optional[jax.Array] = None,
+    pre_projected: bool = False,
 ):
     """Fused per-chunk device program for the plate pipeline.
 
@@ -209,7 +210,15 @@ def plate_stage1(
 
     def build():
         def one(stack, wm_s, coef, zc):
-            proj = proj_masked(stack, zc, proj_method)
+            # pre_projected: the streaming producer already reduced the
+            # stack during decode (host projection, ops/zproj.proj_host —
+            # H2D of a (H, W) projection instead of the (Z, H, W) stack;
+            # transfer bandwidth is the plate bottleneck on slow links)
+            proj = (
+                stack.astype(jnp.float32)
+                if pre_projected
+                else proj_masked(stack, zc, proj_method)
+            )
             small = _resize(proj[None], target, "lanczos")[0]
             small = rescale_intensity(small, out_range=(0, 1))
             if use_mask:
@@ -257,6 +266,7 @@ def plate_stage1(
         target,
         use_mask,
         proj_method,
+        pre_projected,
     )
     fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
     if wm_small is None:

@@ -95,6 +95,12 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
 
     a, p, f, s = chunk_arrays
     w = p.shape[-1]
+    with timer.stage("device_wait"):
+        # block on the chunk's stage1 program under its own stage: the
+        # first fetch waits for the whole device program, and charging
+        # that wait to "postprocess" made the host tail look 10x its
+        # real cost in the stage split
+        a = np.asarray(a)
     with timer.stage("postprocess"):
         # f/s arrive bit-packed (parallel/plate.packbits_device): the D2H
         # fetch of the boolean rasters was the postprocess bottleneck
@@ -229,6 +235,18 @@ def run_plate_streaming(
         int(v) for v in np.round(np.multiply(target, DOWNSAMPLE_WIDTH / target[-1]))
     )
 
+    # host-projection-at-decode: for every method except fs the Z
+    # reduction runs on the host as each well arrives (bit-equal to the
+    # device proj_masked on integer data — ops/zproj.proj_host), so only
+    # a (H, W) projection crosses H2D instead of the (Z, H, W) stack.
+    # Transfer bandwidth, not the reduce, bounds plate ingest on slow
+    # links (round-3 stage split: zproj+H2D was 52% of the device wall).
+    pre_project = proj_method != "fs"
+    if pre_project and proj_method in ("avg", "med"):
+        chunk_dtype = np.float32  # fractional projection values
+    else:
+        chunk_dtype = plate_dtype
+
     chunk_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, prefetch))
     stop = threading.Event()
 
@@ -244,11 +262,16 @@ def run_plate_streaming(
 
     def producer():
         try:
+            from tmat_tpu.ops.zproj import proj_host
+
             ids, buf, zcs = [], [], []
+            pad_shape = (
+                (h_max, w_max) if pre_project else (z_max, h_max, w_max)
+            )
 
             def flush():
                 while len(buf) < n_dev:  # pad the tail chunk
-                    buf.append(np.zeros((z_max, h_max, w_max), plate_dtype))
+                    buf.append(np.zeros(pad_shape, chunk_dtype))
                     zcs.append(1)
                 _put((list(ids), np.stack(buf), np.asarray(zcs, np.int32)))
                 ids.clear(), buf.clear(), zcs.clear()
@@ -256,8 +279,17 @@ def run_plate_streaming(
             for wid, stack in wells:
                 if stop.is_set():
                     return
-                arr = np.zeros((z_max, h_max, w_max), plate_dtype)
-                arr[: stack.shape[0], : stack.shape[1], : stack.shape[2]] = stack
+                arr = np.zeros(pad_shape, chunk_dtype)
+                if pre_project:
+                    # project the UNPADDED stack (true Z only), then pad
+                    # spatially — identical to padding first since the
+                    # spatial pad region reduces to 0 either way
+                    proj = proj_host(stack, proj_method)
+                    arr[: proj.shape[0], : proj.shape[1]] = proj
+                else:
+                    arr[
+                        : stack.shape[0], : stack.shape[1], : stack.shape[2]
+                    ] = stack
                 ids.append(wid)
                 buf.append(arr)
                 zcs.append(stack.shape[0])
@@ -285,9 +317,12 @@ def run_plate_streaming(
             # user-selected -m method, Z padding masked) — fitting on an
             # unmasked max projection could disagree with the analyzed
             # image for min/avg/med/fs plates
-            proj = plate_zproj_masked(mesh, dc, zcs, proj_method).astype(
-                jnp.float32
-            )
+            if pre_project:
+                proj = dc.astype(jnp.float32)
+            else:
+                proj = plate_zproj_masked(mesh, dc, zcs, proj_method).astype(
+                    jnp.float32
+                )
             small_np = np.asarray(resize(proj, target, "lanczos"))
             pairs = [
                 make_well_mask(small_np[i], seed=seed)
@@ -311,6 +346,7 @@ def run_plate_streaming(
             wm,
             proj_method=proj_method,
             z_counts=zcs,
+            pre_projected=pre_project,
         )
         return _finish_chunk(outs, pruning_chunk, mesh, dsamp, config, timer)
 
