@@ -25,6 +25,7 @@ Available subcommands:
     compute_cell_area: Compute cell coverage area.
     compute_inv_depth: Predict depth of invasion.
     compute_branches: Analyze microvessel branching.
+    warmup: Precompile the pipelines at your plate geometry (fast cold starts).
 
 Get available options:
     -h, --help: Show this help message and exit.
@@ -45,6 +46,7 @@ def _tool_modules():
         compute_cell_area,
         compute_inv_depth,
         compute_zproj,
+        warmup,
     )
 
     return {
@@ -52,6 +54,7 @@ def _tool_modules():
         "compute_cell_area": compute_cell_area,
         "compute_inv_depth": compute_inv_depth,
         "compute_branches": compute_branches,
+        "warmup": warmup,
     }
 
 
