@@ -16,6 +16,7 @@ chunks (smooth_tiled_predictions.py:136-217).
 from __future__ import annotations
 
 import json
+import warnings
 from functools import partial
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
@@ -27,6 +28,7 @@ import numpy as np
 
 from tmat_tpu.core import defs
 from tmat_tpu.models.params_io import load_params
+from tmat_tpu.ops.pallas_unet import make_fused_pred_fn, should_use_fused
 from tmat_tpu.ops.resize import resize, target_shape_for_ratio
 from tmat_tpu.ops.tiled import predict_img_with_smooth_windowing
 
@@ -210,6 +212,18 @@ class UNetXceptionPatchSegmentor:
             return model.apply(variables, batch, train=False)
 
         self._pred_fn = pred_fn
+        self.fused = False
+        if should_use_fused(patch_size, filter_counts):
+            try:
+                self._pred_fn = make_fused_pred_fn(
+                    variables, filter_counts, dtype=dtype, output_act="sigmoid"
+                )
+                self.fused = True
+            except Exception as exc:  # pragma: no cover - defensive
+                warnings.warn(
+                    f"fused UNet path unavailable ({exc!r}); "
+                    "falling back to the standard forward"
+                )
 
     def predict(self, x: np.ndarray, auto_resample: bool = True) -> np.ndarray:
         x = jnp.asarray(x, jnp.float32)
