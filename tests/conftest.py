@@ -11,10 +11,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # A developer's configured base dir (package.cfg written by a CLI run, or a
 # TMAT_TPU_BASE_DIR left in the shell) must not redirect the shipped-artifact
 # lookups (defs.model_training_path) to a scratch dir mid-suite. Point the
-# suite at a path that never exists so defs falls back to the packaged tree.
-os.environ["TMAT_TPU_BASE_DIR"] = os.path.join(
-    os.path.dirname(__file__), "_nonexistent_base"
-)
+# suite at a fresh temp dir: lookups fall back per-file to the packaged tree,
+# and tool mains that bootstrap BASE_DIR (config copies, compile cache) write
+# there instead of into the repo.
+import tempfile
+
+os.environ["TMAT_TPU_BASE_DIR"] = tempfile.mkdtemp(prefix="tmat_test_base_")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

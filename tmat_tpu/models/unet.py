@@ -186,6 +186,7 @@ class UNetXceptionPatchSegmentor:
         norm_std: Optional[float] = None,
         channels: int = 1,
         dtype: jnp.dtype = jnp.float32,
+        quantize: Optional[bool] = None,
     ):
         self.patch_size = patch_size
         self.channels = channels
@@ -213,6 +214,41 @@ class UNetXceptionPatchSegmentor:
 
         self._pred_fn = pred_fn
         self.fused = False
+        self.quantized = False
+        if quantize is None:
+            import os
+
+            quantize = os.environ.get("TMAT_TPU_INT8", "0") == "1"
+        if quantize:
+            # w8a8 MXU path (models/quant.py): per-channel PTQ with
+            # BN folding; scales come from a shipped sidecar JSON when
+            # present, else a one-time CPU-backend calibration pass
+            from tmat_tpu.models import quant as _quant
+
+            scales = None
+            if checkpoint_file is not None:
+                scales = _quant.load_scales(
+                    _quant.scales_path_for(checkpoint_file)
+                )
+            qfn, scales = _quant.make_quant_pred_fn(
+                self.variables,
+                tuple(sorted(filter_counts)),
+                scales=scales,
+                patch_size=patch_size,
+                # the dequantized elementwise domain follows the segmentor
+                # compute dtype (bf16 in production, f32 in CPU tests)
+                float_dtype=dtype,
+            )
+            if checkpoint_file is not None:
+                try:  # best-effort cache next to the checkpoint
+                    sp = _quant.scales_path_for(checkpoint_file)
+                    if not sp.is_file():
+                        _quant.save_scales(sp, scales)
+                except OSError:
+                    pass
+            self._pred_fn = qfn
+            self.quantized = True
+            return
         if should_use_fused(patch_size, filter_counts):
             try:
                 self._pred_fn = make_fused_pred_fn(
@@ -282,4 +318,5 @@ def get_unet_patch_segmentor_from_cfg(cfg_json: str) -> UNetXceptionPatchSegment
         norm_std=cfg.get("norm_std", None),
         channels=cfg.get("channels", 1),
         dtype=dtype,
+        quantize=cfg.get("quantize", None),
     )
