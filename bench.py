@@ -26,6 +26,16 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", str(Path.home() / ".cache" / "jax_bench")
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# The bench must measure the SHIPPED artifacts: a developer's package.cfg
+# (auto-written by any CLI drive) would otherwise redirect
+# defs.model_training_path to their scratch base dir — and a tiny scratch
+# checkpoint_1.msgpack then fails to load into the production template.
+# Env beats package.cfg in defs._read_user_base_dir; point it at a fresh
+# temp dir so every lookup falls back per-file to the packaged tree.
+if "TMAT_TPU_BASE_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["TMAT_TPU_BASE_DIR"] = tempfile.mkdtemp(prefix="tmat_bench_base_")
 
 N_WELLS = 6
 IMG_SIZE = 1024

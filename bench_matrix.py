@@ -35,6 +35,13 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", str(Path.home() / ".cache" / "jax_bench")
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# measure the SHIPPED artifacts regardless of a developer's package.cfg
+# (see bench.py: a scratch base dir's checkpoint_1.msgpack would shadow
+# the production one and fail to load into the big template)
+if "TMAT_TPU_BASE_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["TMAT_TPU_BASE_DIR"] = tempfile.mkdtemp(prefix="tmat_bench_base_")
 
 _BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 
@@ -219,12 +226,21 @@ def bench_unet_forward(rng):
     ]
     flops = _compiled_flops(fwd, variables, xs[0])
 
-    jax.block_until_ready(fwd(variables, xs[0]))  # compile
+    def _fetch(out):
+        np.asarray(jax.device_get(out.ravel()[0]))
+
+    _fetch(fwd(variables, xs[0]))  # compile + warm (value-fetch sync:
+    # this runtime's block_until_ready is not a reliable barrier)
+    tiny = jax.jit(lambda x: x + 1.0)
+    _fetch(tiny(xs[0][0, 0]))
     t0 = time.perf_counter()
+    _fetch(tiny(xs[0][0, 0]))
+    rtt = time.perf_counter() - t0  # dispatch+fetch round trip to subtract
     reps = 3
+    t0 = time.perf_counter()
     outs = [fwd(variables, xs[1 + i]) for i in range(reps)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / reps
+    _fetch(outs[-1])  # programs on one core retire in dispatch order
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / reps
     _emit(
         "unet_forward",
         batch / dt,
