@@ -37,7 +37,13 @@ if "TMAT_TPU_BASE_DIR" not in os.environ:
 
     os.environ["TMAT_TPU_BASE_DIR"] = tempfile.mkdtemp(prefix="tmat_bench_base_")
 
-N_WELLS = 6
+# Production plates are 96 wells; at 6 wells the measurement is mostly
+# pipeline ramp/tail (the device pipeline is ~105 ms/well of compute, but
+# the first chunk pays H2D + dispatch round trips with nothing to overlap
+# them: 6 wells measured 6.5 wells/sec vs 7.4 at 12 and 7.65 at 24 in the
+# same session). 24 wells approaches steady state while keeping the bench
+# under a few seconds of timed work.
+N_WELLS = 24
 IMG_SIZE = 1024
 N_Z = 8
 DS_RATIO = 0.625
