@@ -47,9 +47,12 @@ def prep_inv_depth_imgs(images: jax.Array, img_hw: Tuple[int, int]) -> jax.Array
 
 
 @jax.jit
+@jax.jit
 def _prep_resized(resized: jax.Array) -> jax.Array:
     """Device tail of the hybrid prep: per-slice 0-255 rescale, 3-channel
-    replication, caffe-mode normalization (data_prep.py:36-61)."""
+    replication, caffe-mode normalization (data_prep.py:36-61) — one
+    program; the f32 cast happens ON DEVICE so integer slices transfer in
+    their native dtype (a host-side astype would quadruple the H2D)."""
     rescaled = jax.vmap(lambda im: rescale_intensity(im, out_range=(0, 255)))(
         resized.astype(jnp.float32)
     )
@@ -73,4 +76,14 @@ def prep_inv_depth_imgs_hybrid(images, img_hw: Tuple[int, int]) -> jax.Array:
     images = np.asarray(images)
     if images.ndim == 2:
         images = images[None]
-    return _prep_resized(resize_lanczos4_host(images, tuple(img_hw)))
+    resized = resize_lanczos4_host(images, tuple(img_hw))
+    if np.issubdtype(images.dtype, np.integer):
+        # cv2.resize preserves integer dtypes (round + saturate), so for
+        # integer microscopy stacks the integer slices ARE the reference's
+        # resize output (up to .5-tie rounding direction) — and uint8 H2D
+        # is 4x fewer bytes than f32 on the transfer-bound ingest path
+        info = np.iinfo(images.dtype)
+        resized = np.clip(np.rint(resized), info.min, info.max).astype(
+            images.dtype
+        )
+    return _prep_resized(resized)
