@@ -147,11 +147,18 @@ def build_resnet50_tl(
     output_act: str = "sigmoid",
     dtype: jnp.dtype = jnp.float32,
     seed: int = 0,
+    init: str = "random",
 ):
     """Create the TL model and initialized variables.
 
     ImageNet base weights are not bundled (zero-egress build); train via
     models/train.py or load converted checkpoints with params_io.
+
+    ``init="zeros"`` builds the tree via ``jax.eval_shape`` + host numpy
+    zeros (zero device programs) — use when a checkpoint will overwrite
+    the values; ResNet50's eager random init compiles hundreds of tiny
+    XLA programs, which dominates cold CLI starts (see
+    models/unet.build_unet_xception).
     """
     model = ResNet50TL(
         n_outputs=n_outputs,
@@ -160,7 +167,17 @@ def build_resnet50_tl(
         dtype=dtype,
     )
     dummy = jnp.zeros((1, *img_shape), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    if init == "zeros":
+        import numpy as np
+
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(seed), dummy, train=False)
+        )
+        variables = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes
+        )
+    else:
+        variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     return model, variables
 
 

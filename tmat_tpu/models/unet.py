@@ -154,8 +154,18 @@ def build_unet_xception(
     dtype: jnp.dtype = jnp.float32,
     seed: int = 0,
     bn_momentum: float = 0.99,
+    init: str = "random",
 ):
-    """Create the model and initialized variables (params + batch_stats)."""
+    """Create the model and initialized variables (params + batch_stats).
+
+    ``init="zeros"`` builds the variable tree via ``jax.eval_shape`` +
+    host numpy zeros — ZERO device programs. Use it whenever a checkpoint
+    will immediately overwrite the values: an eager ``model.init`` of
+    this architecture compiles ~150 tiny XLA programs (one per conv/BN/
+    truncated-normal), which dominated cold CLI starts (283 s of compile
+    across 241 programs measured on the dev tunnel; BASELINE.md
+    cold-start section).
+    """
     model = UNetXception(
         n_outputs=n_outputs,
         filter_counts=tuple(filter_counts),
@@ -164,7 +174,15 @@ def build_unet_xception(
         bn_momentum=bn_momentum,
     )
     dummy = jnp.zeros((1, img_shape[0], img_shape[1], channels), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+    if init == "zeros":
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(seed), dummy, train=False)
+        )
+        variables = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes
+        )
+    else:
+        variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
     return model, variables
 
 
@@ -200,6 +218,9 @@ class UNetXceptionPatchSegmentor:
             filter_counts=filter_counts,
             output_act="sigmoid",
             dtype=dtype,
+            # the checkpoint overwrites every value: skip the eager random
+            # init (it alone compiles ~150 device programs cold)
+            init="zeros" if checkpoint_file is not None else "random",
         )
         if checkpoint_file is not None:
             self.variables = load_params(checkpoint_file, template)

@@ -113,7 +113,8 @@ def main(args=None, argv=None):
     # runs the convs in bfloat16 like the segmentor's tiled path)
     infer_dtype = default_infer_dtype()
     model, template = build_resnet50_tl(
-        1, resnet_inp_shape, base_last_layer=last_resnet_layer, dtype=infer_dtype
+        1, resnet_inp_shape, base_last_layer=last_resnet_layer, dtype=infer_dtype,
+        init="zeros",  # checkpoints overwrite every value; skip eager init
     )
     member_vars = []
     for i in range(n_pred_models):
