@@ -39,9 +39,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # (see bench.py: a scratch base dir's checkpoint_1.msgpack would shadow
 # the production one and fail to load into the big template)
 if "TMAT_TPU_BASE_DIR" not in os.environ:
+    import getpass
     import tempfile
 
-    os.environ["TMAT_TPU_BASE_DIR"] = tempfile.mkdtemp(prefix="tmat_bench_base_")
+    # stable per-user path (not mkdtemp): repeated runs must not accumulate
+    # leaked directories; concurrent runs share it harmlessly (config-copy
+    # bootstrap writes identical content). Duplicated in bench_matrix.py /
+    # __graft_entry__.py because it must run BEFORE any tmat_tpu import.
+    os.environ["TMAT_TPU_BASE_DIR"] = os.path.join(
+        tempfile.gettempdir(), f"tmat_neutral_base_{getpass.getuser()}"
+    )
 
 _BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 

@@ -132,7 +132,7 @@ def main():
         return jax.vmap(morph.skeletonize)(filtered)
 
     cases = [
-        ("stage1 FULL (6 wells)", stage1_full, mk_projs),
+        (f"stage1 FULL ({N_WELLS} well/prog)", stage1_full, mk_projs),
         ("stage1 dummy-pred", stage1_dummy, mk_projs),
         ("resize+rescale 1024->640", comp_resize_rescale, mk_projs),
         ("GMM threshold @1024", comp_threshold, mk_projs),

@@ -123,11 +123,21 @@ def test_mixed_quality_floor(trained):
 
 
 def test_segmentor_quantize_flag(tmp_path, monkeypatch):
-    """quantize=True builds a runnable quantized pred_fn and caches a
-    sidecar scales file next to the checkpoint."""
+    """quantize=True builds a runnable quantized pred_fn, caches a
+    fingerprinted sidecar next to the checkpoint, reuses it on the next
+    construction, and recalibrates when the checkpoint bytes change."""
     if not _CKPT.is_file():
         pytest.skip("shipped segmentor checkpoint not present")
     import shutil
+
+    calls = {"n": 0}
+    real_calibrate = quant.calibrate
+
+    def counting_calibrate(*a, **k):
+        calls["n"] += 1
+        return real_calibrate(*a, **k)
+
+    monkeypatch.setattr(quant, "calibrate", counting_calibrate)
 
     ckpt = tmp_path / "ckpt.msgpack"
     shutil.copy(_CKPT, ckpt)
@@ -135,6 +145,7 @@ def test_segmentor_quantize_flag(tmp_path, monkeypatch):
         160, ckpt, FC, ds_ratio=1.0, dtype=jnp.float32, quantize=True
     )
     assert seg.quantized
+    assert calls["n"] == 1
     sidecar = quant.scales_path_for(ckpt)
     assert sidecar.is_file(), "calibration scales were not cached"
     x = _vessel_batch(160, n=1)
@@ -142,14 +153,25 @@ def test_segmentor_quantize_flag(tmp_path, monkeypatch):
     assert y.shape[:3] == (1, 160, 160)
     assert np.isfinite(y).all() and 0.0 <= y.min() and y.max() <= 1.0
 
-    # a second construction must reuse the sidecar (no recalibration):
-    # loading is cheap, so just assert the loaded scales match
-    s1 = quant.load_scales(sidecar)
+    # second construction must hit the sidecar, NOT recalibrate
     seg2 = UNetXceptionPatchSegmentor(
         160, ckpt, FC, ds_ratio=1.0, dtype=jnp.float32, quantize=True
     )
     assert seg2.quantized
-    s2 = quant.load_scales(sidecar)
-    assert set(s1) == set(s2)
-    for k in s1:
-        np.testing.assert_array_equal(s1[k], s2[k])
+    assert calls["n"] == 1, "sidecar was ignored; recalibrated"
+
+    # a fingerprint mismatch (as a retrained checkpoint would produce)
+    # invalidates the sidecar -> recalibrate and rewrite it
+    import json
+
+    doc = json.loads(sidecar.read_text())
+    assert doc["_ckpt"] == quant._ckpt_fingerprint(ckpt)
+    doc["_ckpt"]["size"] += 1
+    sidecar.write_text(json.dumps(doc))
+    seg3 = UNetXceptionPatchSegmentor(
+        160, ckpt, FC, ds_ratio=1.0, dtype=jnp.float32, quantize=True
+    )
+    assert seg3.quantized
+    assert calls["n"] == 2, "stale sidecar was reused after checkpoint change"
+    doc2 = json.loads(sidecar.read_text())
+    assert doc2["_ckpt"] == quant._ckpt_fingerprint(ckpt), "sidecar not refreshed"

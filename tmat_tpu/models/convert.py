@@ -227,15 +227,13 @@ def main(argv=None):
             (args.patch_size, args.patch_size),
             channels=args.channels,
             filter_counts=tuple(args.filters),
-            init="zeros",
         )
         variables = convert_unet_weights(args.input_h5, template)
     else:
         from tmat_tpu.models.resnet import build_resnet50_tl
 
         _, template = build_resnet50_tl(
-            1, (args.img_size, args.img_size, 3), base_last_layer=args.last_layer,
-            init="zeros",
+            1, (args.img_size, args.img_size, 3), base_last_layer=args.last_layer
         )
         variables = convert_resnet_weights(args.input_h5, template)
 

@@ -47,7 +47,6 @@ def prep_inv_depth_imgs(images: jax.Array, img_hw: Tuple[int, int]) -> jax.Array
 
 
 @jax.jit
-@jax.jit
 def _prep_resized(resized: jax.Array) -> jax.Array:
     """Device tail of the hybrid prep: per-slice 0-255 rescale, 3-channel
     replication, caffe-mode normalization (data_prep.py:36-61) — one

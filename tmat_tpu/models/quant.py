@@ -649,15 +649,63 @@ def load_scales(path) -> Optional[Dict[str, np.ndarray]]:
     if not path.is_file():
         return None
     with open(path) as fp:
-        return {k: np.asarray(v, np.float32) for k, v in json.load(fp).items()}
+        return {
+            k: np.asarray(v, np.float32)
+            for k, v in json.load(fp).items()
+            if not k.startswith("_")
+        }
 
 
-def save_scales(path, scales: Dict[str, np.ndarray]) -> None:
+def save_scales(path, scales: Dict[str, np.ndarray], extra: Optional[dict] = None) -> None:
+    doc = {k: np.asarray(v).tolist() for k, v in scales.items()}
+    if extra:
+        doc.update(extra)
     with open(path, "w") as fp:
-        json.dump(
-            {k: np.asarray(v).tolist() for k, v in scales.items()},
-            fp, indent=1, sort_keys=True,
-        )
+        json.dump(doc, fp, indent=1, sort_keys=True)
+
+
+def _ckpt_fingerprint(checkpoint_file) -> dict:
+    """Content-stable checkpoint identity: size + blake2b of the first and
+    last 64 KiB. Not mtime — git checkouts don't preserve mtimes, and the
+    SHIPPED sidecar must stay valid across clones; not a full-file hash —
+    33 MB per segmentor construction would be needless I/O."""
+    import hashlib
+    import os
+
+    size = os.stat(checkpoint_file).st_size
+    h = hashlib.blake2b(digest_size=16)
+    with open(checkpoint_file, "rb") as fp:
+        h.update(fp.read(65536))
+        if size > 131072:
+            fp.seek(-65536, os.SEEK_END)
+        h.update(fp.read(65536))
+    return {"size": size, "blake2b16": h.hexdigest()}
+
+
+def load_scales_for(checkpoint_file) -> Optional[Dict[str, np.ndarray]]:
+    """Sidecar scales, but ONLY if they were calibrated against the current
+    checkpoint bytes: activation scales depend on the weights, and a
+    retrained/overwritten checkpoint must trigger recalibration, not a
+    silent reuse of stale scales."""
+    path = scales_path_for(checkpoint_file)
+    if not path.is_file():
+        return None
+    with open(path) as fp:
+        doc = json.load(fp)
+    if doc.get("_ckpt") != _ckpt_fingerprint(checkpoint_file):
+        return None
+    return {
+        k: np.asarray(v, np.float32)
+        for k, v in doc.items()
+        if not k.startswith("_")
+    }
+
+
+def save_scales_for(checkpoint_file, scales: Dict[str, np.ndarray]) -> None:
+    save_scales(
+        scales_path_for(checkpoint_file), scales,
+        extra={"_ckpt": _ckpt_fingerprint(checkpoint_file)},
+    )
 
 
 def make_quant_pred_fn(

@@ -248,11 +248,14 @@ class UNetXceptionPatchSegmentor:
 
             scales = None
             if checkpoint_file is not None:
-                scales = _quant.load_scales(
-                    _quant.scales_path_for(checkpoint_file)
-                )
+                # fingerprint-checked: a retrained checkpoint invalidates
+                # the sidecar and forces recalibration
+                scales = _quant.load_scales_for(checkpoint_file)
+            calibrated = scales is None
             qfn, scales = _quant.make_quant_pred_fn(
                 self.variables,
+                # the model sorts filter_counts internally (reference
+                # models.py:114); the folded tags must follow that order
                 tuple(sorted(filter_counts)),
                 scales=scales,
                 patch_size=patch_size,
@@ -260,11 +263,9 @@ class UNetXceptionPatchSegmentor:
                 # compute dtype (bf16 in production, f32 in CPU tests)
                 float_dtype=dtype,
             )
-            if checkpoint_file is not None:
+            if checkpoint_file is not None and calibrated:
                 try:  # best-effort cache next to the checkpoint
-                    sp = _quant.scales_path_for(checkpoint_file)
-                    if not sp.is_file():
-                        _quant.save_scales(sp, scales)
+                    _quant.save_scales_for(checkpoint_file, scales)
                 except OSError:
                     pass
             self._pred_fn = qfn
