@@ -338,9 +338,12 @@ def quantize_folded(
 
     ``float_tail``: the LAST up block's t2/res epilogues skip the output
     requant and emit ``float_dtype``; the final residual add and the head
-    conv then run in float. The head logit is the most rounding-sensitive
-    site — an int8 final add measured IoU 0.978 vs f32, the float tail
-    recovers the float-domain 0.99+ at the cost of one bf16 tensor.
+    conv then run in float. Measured effect: marginal (IoU 0.978 with or
+    without on the shipped checkpoint — the quality gap lives in the deep
+    quantized convs, not the tail) but it removes two roundings at the
+    most logit-sensitive site for the cost of one bf16 tensor, so it
+    stays on. The mixed path (quantize_mixed) is what recovers speed;
+    nothing in the all-int8 design recovered the 0.99 bar.
     """
     n_down, n_up = folded["_n"]["down"], folded["_n"]["up"]
     ts = _tensor_scales(scales, n_down, n_up)
