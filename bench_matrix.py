@@ -194,18 +194,34 @@ def bench_inv_depth(rng):
     ensemble_apply = make_ensemble_apply(model)
     stack = (rng.rand(n_slices, 700, 700) * 255).astype(np.uint8)
 
+    def _fetch(out):
+        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0]))
+
     def run():
         x = prep_inv_depth_imgs_hybrid(stack, (256, 256))
-        jax.block_until_ready(ensemble_apply(stacked, x))
+        _fetch(ensemble_apply(stacked, x))
 
     x_example = prep_inv_depth_imgs_hybrid(stack, (256, 256))
     flops = _compiled_flops(ensemble_apply, stacked, x_example)
     dt = _timeit(run)
+    # phase attribution for the best rep: this row swings 4x between
+    # sessions purely on tunnel H2D/round-trip weather — the split makes
+    # a slow number diagnosable (host prep vs transfer+tail vs forward)
+    t0 = time.perf_counter()
+    x = prep_inv_depth_imgs_hybrid(stack, (256, 256))
+    t1 = time.perf_counter()
+    _fetch(x)
+    t2 = time.perf_counter()
+    _fetch(ensemble_apply(stacked, x))
+    t3 = time.perf_counter()
     _emit(
         "inv_depth",
         n_slices / dt,
         f"slices/sec (host-lanczos4 prep + {n_members}-member ResNet ensemble, 256px)",
         mfu=_mfu(flops, dt),
+        prep_ms=round((t1 - t0) * 1e3, 1),
+        h2d_tail_ms=round((t2 - t1) * 1e3, 1),
+        ensemble_ms=round((t3 - t2) * 1e3, 1),
     )
 
 
