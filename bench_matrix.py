@@ -204,24 +204,28 @@ def bench_inv_depth(rng):
     x_example = prep_inv_depth_imgs_hybrid(stack, (256, 256))
     flops = _compiled_flops(ensemble_apply, stacked, x_example)
     dt = _timeit(run)
-    # phase attribution for the best rep: this row swings 4x between
-    # sessions purely on tunnel H2D/round-trip weather — the split makes
-    # a slow number diagnosable (host prep vs transfer+tail vs forward)
-    t0 = time.perf_counter()
-    x = prep_inv_depth_imgs_hybrid(stack, (256, 256))
-    t1 = time.perf_counter()
-    _fetch(x)
-    t2 = time.perf_counter()
-    _fetch(ensemble_apply(stacked, x))
-    t3 = time.perf_counter()
+    # phase attribution (best of 2): this row swings 4x between sessions
+    # purely on tunnel H2D/round-trip weather — the split makes a slow
+    # number diagnosable (host prep vs transfer+tail vs forward)
+    phases = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x = prep_inv_depth_imgs_hybrid(stack, (256, 256))
+        t1 = time.perf_counter()
+        _fetch(x)
+        t2 = time.perf_counter()
+        _fetch(ensemble_apply(stacked, x))
+        t3 = time.perf_counter()
+        phases.append((t1 - t0, t2 - t1, t3 - t2))
+    prep, h2d, ens = (min(p[i] for p in phases) for i in range(3))
     _emit(
         "inv_depth",
         n_slices / dt,
         f"slices/sec (host-lanczos4 prep + {n_members}-member ResNet ensemble, 256px)",
         mfu=_mfu(flops, dt),
-        prep_ms=round((t1 - t0) * 1e3, 1),
-        h2d_tail_ms=round((t2 - t1) * 1e3, 1),
-        ensemble_ms=round((t3 - t2) * 1e3, 1),
+        prep_ms=round(prep * 1e3, 1),
+        h2d_tail_ms=round(h2d * 1e3, 1),
+        ensemble_ms=round(ens * 1e3, 1),
     )
 
 
