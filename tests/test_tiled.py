@@ -72,3 +72,52 @@ def test_window_2d_shape():
     w2 = tiled.window_2d(16)
     assert w2.shape == (16, 16, 1)
     assert w2.max() <= 4.0
+
+
+def test_tta_levels_identity_recovery(rng):
+    """The opt-in tta=4/1 fast modes must preserve the blend/inverse
+    alignment: with pred = identity every tta level reconstructs the
+    input (a misordered inverse transform would blend rotated copies)."""
+    img = rng.rand(48, 64).astype(np.float32)
+
+    def identity(batch):
+        return batch
+
+    for tta in (1, 4, 8):
+        out = np.asarray(
+            tiled.predict_img_with_smooth_windowing(
+                jnp.asarray(img), window_size=16, subdivisions=2,
+                pred_func=identity, tta=tta,
+            )
+        )
+        np.testing.assert_allclose(out, img, atol=1e-5, err_msg=f"tta={tta}")
+
+
+def test_tta_invalid_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        tiled.predict_img_with_smooth_windowing(
+            jnp.zeros((32, 32)), window_size=16, subdivisions=2,
+            pred_func=lambda b: b, tta=3,
+        )
+
+
+def test_tta8_matches_default(rng):
+    """tta=8 IS the default path (same compiled program key semantics)."""
+    img = rng.rand(40, 40).astype(np.float32)
+
+    def blurish(batch):
+        return batch * 0.5 + 0.1
+
+    a = np.asarray(
+        tiled.predict_img_with_smooth_windowing(
+            jnp.asarray(img), 16, 2, blurish
+        )
+    )
+    b = np.asarray(
+        tiled.predict_img_with_smooth_windowing(
+            jnp.asarray(img), 16, 2, blurish, tta=8
+        )
+    )
+    np.testing.assert_array_equal(a, b)

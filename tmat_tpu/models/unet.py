@@ -205,8 +205,12 @@ class UNetXceptionPatchSegmentor:
         channels: int = 1,
         dtype: jnp.dtype = jnp.float32,
         quantize: Optional[bool] = None,
+        tta: int = 8,
     ):
         self.patch_size = patch_size
+        # dihedral TTA variants (8 = reference parity, 4/1 = opt-in fast
+        # modes; the tiled UNet cost is linear in tta)
+        self.tta = tta
         self.channels = channels
         self.norm_mean = norm_mean
         self.norm_std = norm_std
@@ -300,6 +304,7 @@ class UNetXceptionPatchSegmentor:
             subdivisions=2,
             pred_func=self._pred_fn,
             channels=self.channels,
+            tta=self.tta,
         )
 
         if do_resampling:
@@ -341,4 +346,5 @@ def get_unet_patch_segmentor_from_cfg(cfg_json: str) -> UNetXceptionPatchSegment
         channels=cfg.get("channels", 1),
         dtype=dtype,
         quantize=cfg.get("quantize", None),
+        tta=int(cfg.get("tta", 8)),
     )

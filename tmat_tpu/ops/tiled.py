@@ -51,35 +51,40 @@ def window_2d(window_size: int, power: int = 2) -> np.ndarray:
     return (wind[:, None] * wind[None, :])[..., None].astype(np.float32)
 
 
-def _d4_do(img: jax.Array) -> jax.Array:
-    """All 8 dihedral transforms of a square (H, W, C) image -> (8, H, W, C)."""
+def _d4_do(img: jax.Array, tta: int = 8) -> jax.Array:
+    """The first ``tta`` dihedral transforms of a square (H, W, C) image
+    -> (tta, H, W, C). tta=8 is the reference's full D4 set
+    (smooth_tiled_predictions.py:96-113); tta=4 keeps the rotations;
+    tta=1 disables test-time augmentation (opt-in fast modes — the UNet
+    forward cost is linear in tta)."""
     flip = img[:, ::-1]
-    return jnp.stack(
-        [
-            img,
-            jnp.rot90(img, 1),
-            jnp.rot90(img, 2),
-            jnp.rot90(img, 3),
-            flip,
-            jnp.rot90(flip, 1),
-            jnp.rot90(flip, 2),
-            jnp.rot90(flip, 3),
-        ]
-    )
-
-
-def _d4_undo_mean(stack: jax.Array) -> jax.Array:
-    """Invert the 8 transforms and average (smooth_tiled_predictions.py:116-133)."""
-    outs = [
-        stack[0],
-        jnp.rot90(stack[1], 3),
-        jnp.rot90(stack[2], 2),
-        jnp.rot90(stack[3], 1),
-        stack[4][:, ::-1],
-        jnp.rot90(stack[5], 3)[:, ::-1],
-        jnp.rot90(stack[6], 2)[:, ::-1],
-        jnp.rot90(stack[7], 1)[:, ::-1],
+    variants = [
+        img,
+        jnp.rot90(img, 1),
+        jnp.rot90(img, 2),
+        jnp.rot90(img, 3),
+        flip,
+        jnp.rot90(flip, 1),
+        jnp.rot90(flip, 2),
+        jnp.rot90(flip, 3),
     ]
+    return jnp.stack(variants[:tta])
+
+
+def _d4_undo_mean(stack: jax.Array, tta: int = 8) -> jax.Array:
+    """Invert the first ``tta`` transforms and average
+    (smooth_tiled_predictions.py:116-133)."""
+    undo = [
+        lambda s: s,
+        lambda s: jnp.rot90(s, 3),
+        lambda s: jnp.rot90(s, 2),
+        lambda s: jnp.rot90(s, 1),
+        lambda s: s[:, ::-1],
+        lambda s: jnp.rot90(s, 3)[:, ::-1],
+        lambda s: jnp.rot90(s, 2)[:, ::-1],
+        lambda s: jnp.rot90(s, 1)[:, ::-1],
+    ]
+    outs = [undo[k](stack[k]) for k in range(tta)]
     return jnp.mean(jnp.stack(outs), axis=0)
 
 
@@ -89,6 +94,7 @@ def _tiled_core(
     window_size: int,
     subdivisions: int,
     out_channels: int,
+    tta: int = 8,
 ) -> jax.Array:
     """The fused pipeline; shapes are static at trace time."""
     h, w = img.shape[0], img.shape[1]
@@ -111,17 +117,17 @@ def _tiled_core(
         constant_values=fill,
     )
 
-    tta = _d4_do(padded)  # (8, S, S, C)
+    aug_stack = _d4_do(padded, tta)  # (tta, S, S, C)
     n = n_steps + 1
 
     # Gather overlapping patches: (8, n, n, win, win, C)
     bands = jnp.stack(
-        [tta[:, i * step : i * step + window_size] for i in range(n)], axis=1
+        [aug_stack[:, i * step : i * step + window_size] for i in range(n)], axis=1
     )
     patches = jnp.stack(
         [bands[:, :, :, j * step : j * step + window_size] for j in range(n)], axis=2
     )
-    batch = patches.reshape((8 * n * n, window_size, window_size, img.shape[-1]))
+    batch = patches.reshape((tta * n * n, window_size, window_size, img.shape[-1]))
 
     preds = pred_func(batch)  # (B, win, win, out_c)
     preds = preds.astype(jnp.float32)
@@ -130,10 +136,10 @@ def _tiled_core(
 
     spline = jnp.asarray(window_2d(window_size))
     preds = preds * spline[None]
-    preds = preds.reshape((8, n, n, window_size, window_size, out_channels))
+    preds = preds.reshape((tta, n, n, window_size, window_size, out_channels))
 
     # Overlap-add blend
-    canvas = jnp.zeros((8, side, side, out_channels), jnp.float32)
+    canvas = jnp.zeros((tta, side, side, out_channels), jnp.float32)
     for i in range(n):
         for j in range(n):
             canvas = canvas.at[
@@ -141,7 +147,7 @@ def _tiled_core(
             ].add(preds[:, i, j])
     canvas = canvas / (subdivisions**2)
 
-    merged = _d4_undo_mean(canvas)  # (S, S, out_c)
+    merged = _d4_undo_mean(canvas, tta)  # (S, S, out_c)
     out = merged[aug : aug + h, aug : aug + w]
     if out_channels == 1:
         out = out[..., 0]
@@ -194,15 +200,25 @@ def predict_img_with_smooth_windowing(
     pred_func: Callable,
     channels: int = 1,
     out_channels: int = 1,
+    tta: int = 8,
 ) -> jax.Array:
-    """Smoothly-blended tiled prediction over a (H, W[, C]) image."""
+    """Smoothly-blended tiled prediction over a (H, W[, C]) image.
+
+    ``tta``: number of dihedral test-time-augmentation variants (8 =
+    reference parity; 4 = rotations only; 1 = none). The UNet forward is
+    linear in tta, so the fast modes are opt-in speed/quality trades
+    (quality deltas measured in BASELINE.md)."""
+    if tta not in (1, 4, 8):
+        raise ValueError(f"tta must be 1, 4 or 8, got {tta}")
     img = jnp.asarray(input_img, jnp.float32)
-    key = (img.shape, window_size, subdivisions, out_channels)
+    key = (img.shape, window_size, subdivisions, out_channels, tta)
     fn = _JIT_CACHE.get_or_build(
         pred_func,
         key,
         lambda: jax.jit(
-            lambda x: _tiled_core(x, pred_func, window_size, subdivisions, out_channels)
+            lambda x: _tiled_core(
+                x, pred_func, window_size, subdivisions, out_channels, tta
+            )
         ),
     )
     return fn(img)

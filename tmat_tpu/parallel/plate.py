@@ -182,6 +182,7 @@ def plate_stage1(
     proj_method: str = "max",
     z_counts: Optional[jax.Array] = None,
     pre_projected: bool = False,
+    tta: int = 8,
 ):
     """Fused per-chunk device program for the plate pipeline.
 
@@ -235,7 +236,7 @@ def plate_stage1(
                 small = small * wm_s
             else:
                 area = jnp.mean(thresh)
-            pred = _tiled_core(small, pred_func, window_size, subdivisions, 1)
+            pred = _tiled_core(small, pred_func, window_size, subdivisions, 1, tta)
             return area, pred
 
         def chunk_fn(stacks, wm_s, coef, zcs):
@@ -267,6 +268,7 @@ def plate_stage1(
         use_mask,
         proj_method,
         pre_projected,
+        tta,
     )
     fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
     if wm_small is None:

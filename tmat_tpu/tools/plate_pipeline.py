@@ -347,6 +347,7 @@ def run_plate_streaming(
             proj_method=proj_method,
             z_counts=zcs,
             pre_projected=pre_project,
+            tta=getattr(segmentor, "tta", 8),
         )
         return _finish_chunk(outs, pruning_chunk, mesh, dsamp, config, timer)
 
@@ -501,13 +502,23 @@ def main(args=None, argv=None):
         default="max",
         help="Z-projection method (compute_zproj.py:26-32 dispatch table).",
     )
+    p.add_argument(
+        "--tta",
+        type=int,
+        choices=(1, 4, 8),
+        default=None,
+        help="Dihedral test-time-augmentation variants for the tiled UNet "
+        "(default: the model config's 'tta' key, else 8 = reference "
+        "parity). 4 and 1 are fast modes; measured speed/quality trade "
+        "in BASELINE.md.",
+    )
     if args is None:
         args = p.parse_args(argv)
     else:
         # GUI-dispatched namespace (gui.py run_tool): fill absent flags
         # from the parser itself (single source of truth for defaults)
         # and re-apply the validations argparse would have enforced
-        for name in ("model_cfg", "sd_coef", "detect_well", "method"):
+        for name in ("model_cfg", "sd_coef", "detect_well", "method", "tta"):
             if getattr(args, name, None) in (None, ""):
                 setattr(args, name, p.get_default(name))
         for required in ("in_root", "out_root", "image_width_microns"):
@@ -542,6 +553,8 @@ def main(args=None, argv=None):
         cfg_dir = Path(defs.model_training_path("binary_segmentation")) / "configs"
         model_cfg = str(cfg_dir / f"unet_patch_segmentor_{get_last_exp_num()}.json")
     segmentor = get_unet_patch_segmentor_from_cfg(model_cfg)
+    if getattr(args, "tta", None):
+        segmentor.tta = int(args.tta)
 
     config = {"image_width_microns": args.image_width_microns}
 
