@@ -75,12 +75,15 @@ def _vocab(parser):
 def parsers():
     """(reference parser, our parser) per tool."""
     if "fl_tissue_model_tools.script_util" not in sys.modules:
-        sys.modules.setdefault(
-            "numba",
-            _shim("numba", njit=lambda *a, **k: (
-                a[0] if a and callable(a[0]) else (lambda f: f))),
-        )
-        sys.modules.setdefault("tqdm", _shim("tqdm", tqdm=lambda it=None, **k: it))
+        # reuse the richer numba/tqdm shims (tqdm objects need .refresh());
+        # installing a weaker shim here poisoned test_reference_parity,
+        # whose installer skips names already in sys.modules
+        try:
+            from tests.test_reference_parity import _install_shims
+        except ImportError:  # tests/ not importable as a package
+            from test_reference_parity import _install_shims
+
+        _install_shims()
         if "aicsimageio" not in sys.modules:
             _shim("aicsimageio", AICSImage=object)
             _shim("aicsimageio.dimensions", "aicsimageio", Dimensions=object)
@@ -97,13 +100,19 @@ def parsers():
 
             if "fl_tissue_model_tools.defs" not in sys.modules:
                 # the real defs raises without an installed package.cfg
-                # (the reference's PyInstaller-detection path); script_util
-                # only needs these attributes transitively via helper
+                # (the reference's PyInstaller-detection path). This stub
+                # must be a SUPERSET of test_reference_parity's (whose
+                # installer skips names already in sys.modules): the GMM
+                # parity tests need MAX_UINT8/MAX_UINT16/EPSILON too.
+                import numpy as _np
+
                 _shim(
                     "fl_tissue_model_tools.defs", "fl_tissue_model_tools",
                     SUPPORTED_IMAGE_FORMATS=("tif", "tiff", "nd2"),
                     BASE_DIR=Path("/tmp"), SCRIPT_CONFIG_DIR=Path("/tmp"),
                     PKG_MODEL_DIR=Path("/tmp"), PKG_CONFIG_DIR=Path("/tmp"),
+                    MAX_UINT8=255, MAX_UINT16=65535,
+                    EPSILON=_np.finfo(_np.float32).eps,
                 )
             from fl_tissue_model_tools import script_util as ref_su
         finally:
