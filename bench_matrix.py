@@ -39,16 +39,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # (see bench.py: a scratch base dir's checkpoint_1.msgpack would shadow
 # the production one and fail to load into the big template)
 if "TMAT_TPU_BASE_DIR" not in os.environ:
-    import getpass
-    import tempfile
-
-    # stable per-user path (not mkdtemp): repeated runs must not accumulate
-    # leaked directories; concurrent runs share it harmlessly (config-copy
-    # bootstrap writes identical content). Duplicated in bench_matrix.py /
+    # stable per-user path under the user's own home (NOT a predictable
+    # /tmp path another local user could pre-create and seed with rogue
+    # package.cfg/checkpoints); repeated runs must not accumulate leaked
+    # directories; concurrent runs share it harmlessly (config-copy
+    # bootstrap writes identical content). Duplicated in bench.py /
     # __graft_entry__.py because it must run BEFORE any tmat_tpu import.
-    os.environ["TMAT_TPU_BASE_DIR"] = os.path.join(
-        tempfile.gettempdir(), f"tmat_neutral_base_{getpass.getuser()}"
+    _base = os.path.join(
+        os.path.expanduser("~"), ".cache", "tmat_tpu", "neutral_base"
     )
+    os.makedirs(_base, mode=0o700, exist_ok=True)
+    os.environ["TMAT_TPU_BASE_DIR"] = _base
 
 _BASELINE_FILE = Path(__file__).parent / "BASELINE_CPU.json"
 

@@ -14,9 +14,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # suite at a fresh temp dir: lookups fall back per-file to the packaged tree,
 # and tool mains that bootstrap BASE_DIR (config copies, compile cache) write
 # there instead of into the repo.
+import atexit
+import shutil
 import tempfile
 
-os.environ["TMAT_TPU_BASE_DIR"] = tempfile.mkdtemp(prefix="tmat_test_base_")
+_test_base_dir = tempfile.mkdtemp(prefix="tmat_test_base_")
+os.environ["TMAT_TPU_BASE_DIR"] = _test_base_dir
+# one directory per pytest session would otherwise accumulate forever
+# (the leak bench.py's stable-path comment designs against)
+atexit.register(shutil.rmtree, _test_base_dir, ignore_errors=True)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

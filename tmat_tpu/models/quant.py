@@ -449,8 +449,14 @@ def _maxpool_q(q):
 
 
 def _add_q(a, m_a, b, m_b):
-    """Residual add of two int8 tensors, each at its own per-channel scale,
-    rescaled to the sum's scale in the same fused elementwise pass."""
+    """Residual add of two int8 tensors, each at its own per-channel scale.
+
+    Computed as a float32 multiply-add (dequant both operands to the sum's
+    scale), then round + clip to [-127, 127] and cast back to int8 — XLA
+    fuses the whole thing into one elementwise pass. There is no integer
+    intermediate: f32 holds every s8*scale product exactly, so this is
+    bit-identical to a hypothetical widened-integer add at the same scales.
+    """
     s = a.astype(jnp.float32) * m_a + b.astype(jnp.float32) * m_b
     return jnp.clip(jnp.round(s), -127, 127).astype(jnp.int8)
 
@@ -459,8 +465,9 @@ def forward_quant(qparams, x, float_dtype=jnp.bfloat16):
     """The integer-domain w8a8 forward.
 
     Every inter-op tensor is int8 (relu = max(q, 0), maxpool on int8 —
-    both commute with symmetric dequantization; residual adds saturate in
-    int16 at the shared output scale). Each conv is s8 x s8 -> s32 on the
+    both commute with symmetric dequantization; residual adds dequantize
+    both operands to f32 at the sum's scale, multiply-add, then round and
+    clip back to int8 — see _add_q). Each conv is s8 x s8 -> s32 on the
     MXU with the dequant+bias+relu+requant epilogue fused into its output.
     Only the head runs in ``float_dtype`` (bf16 in production, matching
     the bf16 path this replaces) with a float32 sigmoid.

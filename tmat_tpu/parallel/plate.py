@@ -150,22 +150,25 @@ def plate_segment(
     pred_func: Callable,
     window_size: int,
     subdivisions: int = 2,
+    tta: int = 8,
 ) -> jax.Array:
     """Tiled smooth-blend segmentation of a (B, H, W) plate of wells.
 
     The full fused tiled pipeline (ops/tiled.py) is vmapped over wells and
     the well axis is sharded across the mesh — a 96-well plate on a v5e-8
-    runs 12 wells per chip with zero host round-trips.
+    runs 12 wells per chip with zero host round-trips. ``tta`` selects the
+    D4 test-time-augmentation subgroup ({8, 4, 1}, same contract as
+    ops/tiled.py); the default 8 is reference parity.
     """
     sharding = _data_sharding(mesh)
 
     def build():
         def one(img):
-            return _tiled_core(img, pred_func, window_size, subdivisions, 1)
+            return _tiled_core(img, pred_func, window_size, subdivisions, 1, tta)
 
         return jax.jit(jax.vmap(one), in_shardings=sharding, out_shardings=sharding)
 
-    key = ("segment", mesh, imgs.shape, window_size, subdivisions)
+    key = ("segment", mesh, imgs.shape, window_size, subdivisions, tta)
     fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
     return fn(jax.device_put(imgs, sharding))
 
