@@ -25,6 +25,7 @@ Available subcommands:
     compute_cell_area: Compute cell coverage area.
     compute_inv_depth: Predict depth of invasion.
     compute_branches: Analyze microvessel branching.
+    process_plate: Run a whole plate end-to-end (zproj + cell area + branches).
     warmup: Precompile the pipelines at your plate geometry (fast cold starts).
 
 Get available options:
@@ -46,6 +47,7 @@ def _tool_modules():
         compute_cell_area,
         compute_inv_depth,
         compute_zproj,
+        plate_pipeline,
         warmup,
     )
 
@@ -54,6 +56,7 @@ def _tool_modules():
         "compute_cell_area": compute_cell_area,
         "compute_inv_depth": compute_inv_depth,
         "compute_branches": compute_branches,
+        "process_plate": plate_pipeline,
         "warmup": warmup,
     }
 

@@ -12,7 +12,7 @@ TPU-first staging:
      device work via a thread pool (the ctypes call releases the GIL)
 
 Usage:
-    python -m tmat_tpu.tools.plate_pipeline IN_DIR OUT_DIR \
+    tmat-tpu process_plate IN_DIR OUT_DIR \
         --image-width-microns 1200 [--model-cfg PATH]
 """
 
