@@ -94,7 +94,7 @@ def _synthetic_plate(n_wells: int, rng) -> np.ndarray:
     return np.clip(plate, 0, 255).astype(np.uint8)
 
 
-def run_plate_workload(n_wells: int, dtype=None) -> float:
+def run_plate_workload(n_wells: int, dtype=None, n_reps: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -115,20 +115,29 @@ def run_plate_workload(n_wells: int, dtype=None) -> float:
 
     plate = _synthetic_plate(n_wells, rng)
     ids = [f"W{i}" for i in range(n_wells)]
-    # best of 2 timed runs (both fully warm): the dev tunnel's dispatch/
-    # H2D weather swings enough between minutes to misrecord a round
-    elapsed = float("inf")
-    for _ in range(2):
+    # median of n_reps fully-warm runs, with min/max spread recorded: the
+    # dev tunnel's dispatch/H2D weather swings 2-3x between minutes, and
+    # best-of-N systematically flatters — median keeps BENCH_r* rounds
+    # comparable while the spread makes the weather visible (VERDICT r3
+    # weak #5)
+    throughputs = []
+    for _ in range(n_reps):
         start = time.perf_counter()
         results = run_plate(plate, ids, segmentor, config)
-        elapsed = min(elapsed, time.perf_counter() - start)
+        throughputs.append(n_wells / (time.perf_counter() - start))
     timer = results.pop("_timer")
     print(timer.report(), flush=True)
-    return n_wells / elapsed
+    return {
+        "median": float(np.median(throughputs)),
+        "best": max(throughputs),
+        "spread": [min(throughputs), max(throughputs)],
+        "n_reps": n_reps,
+    }
 
 
 def main():
-    throughput = run_plate_workload(N_WELLS)
+    stats = run_plate_workload(N_WELLS)
+    throughput = stats["median"]
 
     vs_baseline = None
     if _BASELINE_FILE.is_file():
@@ -149,6 +158,10 @@ def main():
                 "value": round(throughput, 4),
                 "unit": "wells/sec (zproj+area+UNet-seg+morse, 1024px wells, Z=8)",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "value_median": round(stats["median"], 4),
+                "value_best": round(stats["best"], 4),
+                "n_reps": stats["n_reps"],
+                "spread": [round(v, 4) for v in stats["spread"]],
             }
         )
     )

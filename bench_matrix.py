@@ -366,7 +366,7 @@ def bench_branches_3d(rng):
 def bench_plate(n_wells=6, dtype=None, emit_branches=True):
     import bench as headline
 
-    throughput = headline.run_plate_workload(n_wells, dtype)
+    throughput = headline.run_plate_workload(n_wells, dtype)["median"]
     baseline = None
     if _BASELINE_FILE.is_file():
         data = json.loads(_BASELINE_FILE.read_text())
@@ -391,7 +391,9 @@ def pin_cpu_baseline():
     jax.config.update("jax_platforms", "cpu")
     import bench as headline
 
-    throughput = headline.run_plate_workload(1)
+    # one rep: a full-pipeline CPU well is minutes, and the pin is a
+    # one-time anchor, not a weather-sensitive headline
+    throughput = headline.run_plate_workload(1, n_reps=1)["median"]
     data = (
         json.loads(_BASELINE_FILE.read_text()) if _BASELINE_FILE.is_file() else {}
     )

@@ -675,21 +675,12 @@ def save_scales(path, scales: Dict[str, np.ndarray], extra: Optional[dict] = Non
 
 
 def _ckpt_fingerprint(checkpoint_file) -> dict:
-    """Content-stable checkpoint identity: size + blake2b of the first and
-    last 64 KiB. Not mtime — git checkouts don't preserve mtimes, and the
-    SHIPPED sidecar must stay valid across clones; not a full-file hash —
-    33 MB per segmentor construction would be needless I/O."""
-    import hashlib
-    import os
+    """Content-stable checkpoint identity (canonical implementation lives
+    in core/aot_cache.py, shared with the AOT executable cache; the JSON
+    sidecar layout written by earlier rounds is unchanged)."""
+    from tmat_tpu.core.aot_cache import ckpt_fingerprint
 
-    size = os.stat(checkpoint_file).st_size
-    h = hashlib.blake2b(digest_size=16)
-    with open(checkpoint_file, "rb") as fp:
-        h.update(fp.read(65536))
-        if size > 131072:
-            fp.seek(-65536, os.SEEK_END)
-        h.update(fp.read(65536))
-    return {"size": size, "blake2b16": h.hexdigest()}
+    return ckpt_fingerprint(checkpoint_file)
 
 
 def load_scales_for(checkpoint_file) -> Optional[Dict[str, np.ndarray]]:

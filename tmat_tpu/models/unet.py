@@ -211,6 +211,7 @@ class UNetXceptionPatchSegmentor:
         # dihedral TTA variants (8 = reference parity, 4/1 = opt-in fast
         # modes; the tiled UNet cost is linear in tta)
         self.tta = tta
+        self._dtype = jnp.dtype(dtype)
         self.channels = channels
         self.norm_mean = norm_mean
         self.norm_std = norm_std
@@ -228,8 +229,16 @@ class UNetXceptionPatchSegmentor:
         )
         if checkpoint_file is not None:
             self.variables = load_params(checkpoint_file, template)
+            # weights identity for the AOT executable cache: compiled
+            # tiled pipelines bake the checkpoint in as constants, so the
+            # cache key must change when the checkpoint bytes do
+            from tmat_tpu.core.aot_cache import ckpt_fingerprint
+
+            fp = ckpt_fingerprint(checkpoint_file)
+            self._ckpt_fp = (fp["size"], fp["blake2b16"])
         else:
             self.variables = template
+            self._ckpt_fp = None  # unfingerprintable weights: no AOT cache
 
         model = self.model
         variables = self.variables
@@ -287,6 +296,22 @@ class UNetXceptionPatchSegmentor:
                     "falling back to the standard forward"
                 )
 
+    @property
+    def _aot_key(self):
+        """Weights + compute-path identity for the AOT executable cache,
+        or None when the weights can't be fingerprinted (random init)."""
+        if self._ckpt_fp is None:
+            return None
+        return (
+            "unet",
+            self._ckpt_fp,
+            self.patch_size,
+            self.channels,
+            self._dtype.name,
+            self.quantized,
+            self.fused,
+        )
+
     def predict(self, x: np.ndarray, auto_resample: bool = True) -> np.ndarray:
         x = jnp.asarray(x, jnp.float32)
         original_shape = tuple(x.shape[:2])
@@ -305,6 +330,9 @@ class UNetXceptionPatchSegmentor:
             pred_func=self._pred_fn,
             channels=self.channels,
             tta=self.tta,
+            # getattr: bare __new__-constructed test doubles have no
+            # fingerprint and must simply skip the AOT executable cache
+            aot_key=getattr(self, "_aot_key", None),
         )
 
         if do_resampling:

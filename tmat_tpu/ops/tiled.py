@@ -201,24 +201,39 @@ def predict_img_with_smooth_windowing(
     channels: int = 1,
     out_channels: int = 1,
     tta: int = 8,
+    aot_key=None,
 ) -> jax.Array:
     """Smoothly-blended tiled prediction over a (H, W[, C]) image.
 
     ``tta``: number of dihedral test-time-augmentation variants (8 =
     reference parity; 4 = rotations only; 1 = none). The UNet forward is
     linear in tta, so the fast modes are opt-in speed/quality trades
-    (quality deltas measured in BASELINE.md)."""
+    (quality deltas measured in BASELINE.md).
+
+    ``aot_key``: semantic identity of ``pred_func``'s weights (the
+    segmentor's checkpoint fingerprint + compute-path flags). When given,
+    the compiled pipeline is served through the cross-process AOT
+    executable cache (core/aot_cache.py) — executables bake the weights
+    in as constants, so callers with unfingerprintable weights must leave
+    this None."""
     if tta not in (1, 4, 8):
         raise ValueError(f"tta must be 1, 4 or 8, got {tta}")
     img = jnp.asarray(input_img, jnp.float32)
     key = (img.shape, window_size, subdivisions, out_channels, tta)
-    fn = _JIT_CACHE.get_or_build(
-        pred_func,
-        key,
-        lambda: jax.jit(
+
+    def build():
+        jitted = jax.jit(
             lambda x: _tiled_core(
                 x, pred_func, window_size, subdivisions, out_channels, tta
             )
-        ),
-    )
+        )
+        if aot_key is None:
+            return jitted
+        from tmat_tpu.core.aot_cache import aot_call
+
+        return lambda x: aot_call(
+            jitted, (x,), ("tiled", aot_key, key), label="tiled"
+        )
+
+    fn = _JIT_CACHE.get_or_build(pred_func, key, build)
     return fn(img)

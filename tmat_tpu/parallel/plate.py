@@ -37,6 +37,17 @@ def _data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def _mesh_key(mesh: Mesh) -> tuple:
+    """Stable, repr-hashable mesh identity for AOT executable cache keys
+    (device ids + layout; the backend/device-kind half lives in
+    aot_cache._env_key_parts)."""
+    return (
+        tuple(mesh.axis_names),
+        tuple(mesh.devices.shape),
+        tuple(int(d.id) for d in mesh.devices.flat),
+    )
+
+
 def packbits_device(x: jax.Array) -> jax.Array:
     """(..., W) bool -> (..., ceil(W/8)) uint8, np.unpackbits bit order.
 
@@ -186,6 +197,7 @@ def plate_stage1(
     z_counts: Optional[jax.Array] = None,
     pre_projected: bool = False,
     tta: int = 8,
+    aot_key=None,
 ):
     """Fused per-chunk device program for the plate pipeline.
 
@@ -278,12 +290,25 @@ def plate_stage1(
         wm_small = jnp.ones((stacks.shape[0],) + tuple(target), jnp.float32)
     if z_counts is None:
         z_counts = jnp.full((stacks.shape[0],), stacks.shape[1], jnp.int32)
-    return fn(
+    args = (
         jax.device_put(stacks, sharding),
         jax.device_put(wm_small, sharding),
         jnp.float32(sd_coef),
         jax.device_put(jnp.asarray(z_counts, jnp.int32), sharding),
     )
+    if aot_key is not None:
+        # cross-process executable cache: this program bakes the
+        # segmentor checkpoint in as constants, so the caller's aot_key
+        # (checkpoint fingerprint + compute path) is part of the key
+        from tmat_tpu.core.aot_cache import aot_call
+
+        return aot_call(
+            fn,
+            args,
+            ("plate_stage1", aot_key, _mesh_key(mesh)) + key[2:],
+            label="plate_stage1",
+        )
+    return fn(*args)
 
 
 def plate_stage2(
@@ -327,8 +352,26 @@ def plate_stage2(
         )
 
     fn = _cached(("stage2", mesh, preds.shape, dsamp, packed), build)
-    return fn(
+    args = (
         jax.device_put(preds, sharding),
         jax.device_put(masks, sharding),
         jax.device_put(skels_pre, sharding),
+    )
+    # no closed-over weights: safe to AOT-cache on geometry alone
+    from tmat_tpu.core.aot_cache import aot_call
+
+    return aot_call(
+        fn,
+        args,
+        (
+            "plate_stage2",
+            _mesh_key(mesh),
+            preds.shape,
+            masks.dtype.name,
+            skels_pre.shape,
+            skels_pre.dtype.name,
+            dsamp,
+            packed,
+        ),
+        label="plate_stage2",
     )

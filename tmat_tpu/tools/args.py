@@ -288,6 +288,18 @@ def parse_branching_args(arg_defaults: Dict[str, Any], argv=None) -> argparse.Na
         ),
     )
     parser.add_argument(
+        "--tta",
+        type=int,
+        choices=(1, 4, 8),
+        default=None,
+        help=(
+            "Dihedral test-time-augmentation variants for the tiled UNet "
+            "on the 2-D path (default: the model config's 'tta' key, else "
+            "8 = reference parity; 4/1 are measured fast modes, "
+            "BASELINE.md). Ignored on the 3-D Sato path."
+        ),
+    )
+    parser.add_argument(
         "-c",
         "--config",
         type=str,

@@ -577,6 +577,10 @@ def main(args=None, argv=None):
         sys.exit(1)
 
     model = get_unet_patch_segmentor_from_cfg(model_cfg_path)
+    if args_dict.get("tta"):
+        # opt-in fast mode for the 2-D tiled UNet (same contract as
+        # process_plate's --tta; plate_pipeline.py main)
+        model.tta = int(args_dict["tta"])
 
     config["time"] = args.time
     config["channel"] = args.channel

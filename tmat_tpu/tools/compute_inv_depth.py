@@ -185,8 +185,26 @@ def main(args=None, argv=None):
         # device tail: 2.2x ingest throughput over the all-device prep
         # on the profiled TPU stack (BASELINE.md round-3)
         x = prep_inv_depth_imgs_hybrid(np.asarray(img), resnet_inp_shape[:-1])
-        # (k, Z, 1) member predictions -> mean over members
-        pending.append((zstack_id, ensemble_apply(stacked, x)))
+        # (k, Z, 1) member predictions -> mean over members. Weights are
+        # an ARGUMENT of the vmapped forward (not baked-in constants), so
+        # the AOT executable cache key needs only the architecture +
+        # shapes, not a checkpoint fingerprint (core/aot_cache.py).
+        from tmat_tpu.core.aot_cache import aot_call
+
+        yhat = aot_call(
+            ensemble_apply,
+            (stacked, x),
+            (
+                "inv_depth_ensemble",
+                n_pred_models,
+                tuple(resnet_inp_shape),
+                last_resnet_layer,
+                str(infer_dtype),
+                tuple(x.shape),
+            ),
+            label="inv_depth",
+        )
+        pending.append((zstack_id, yhat))
         if len(pending) >= MAX_IN_FLIGHT:
             collect_one()
     while pending:
