@@ -46,3 +46,73 @@ def test_warmup_populates_cache(tmp_path):
 def test_warmup_rejects_unknown_tool(tmp_path):
     proc = _run_warmup(tmp_path / "c", ["--tools", "nope"])
     assert proc.returncode != 0
+
+
+def test_warmup_plate_populates_aot_cache(tmp_path):
+    """`warmup --tools plate` runs a device-count-sized synthetic plate
+    through process_plate, so the AOT executable cache ends up holding
+    the stage1/stage2 executables a later real plate run deserializes."""
+    import json
+
+    import numpy as np
+
+    base = tmp_path / "base"
+    cfg_dir = base / "model_training" / "binary_segmentation" / "configs"
+    ckpt_dir = base / "model_training" / "binary_segmentation" / "checkpoints"
+    cfg_dir.mkdir(parents=True)
+    ckpt_dir.mkdir(parents=True)
+    from tmat_tpu.models.params_io import save_params
+    from tmat_tpu.models.unet import build_unet_xception
+
+    _, variables = build_unet_xception(
+        1, (32, 32), channels=1, filter_counts=(8, 16)
+    )
+    save_params(ckpt_dir / "checkpoint_1.msgpack", variables)
+    (cfg_dir / "unet_patch_segmentor_1.json").write_text(
+        json.dumps(
+            {
+                "patch_size": 32,
+                "checkpoint_file": "checkpoint_1.msgpack",
+                "filter_counts": [8, 16],
+                "ds_ratio": 1.0,
+                "channels": 1,
+            }
+        )
+    )
+
+    aot_dir = tmp_path / "aot"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        JAX_COMPILATION_CACHE_DIR=str(tmp_path / "xla_cache"),
+        TMAT_TPU_BASE_DIR=str(base),
+        TMAT_TPU_AOT_CACHE="1",
+        TMAT_TPU_AOT_CACHE_DIR=str(aot_dir),
+        PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "tmat_tpu.cli",
+            "warmup",
+            "--size",
+            "48",
+            "--z",
+            "2",
+            "--tools",
+            "plate",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=500,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "plate warmed" in proc.stdout
+    assert "AOT executable cache holds" in proc.stdout
+    execs = list(aot_dir.glob("*.jaxexec"))
+    # at least stage1 + stage2 at the warmed plate geometry
+    assert len(execs) >= 2, proc.stdout

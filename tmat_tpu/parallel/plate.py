@@ -320,12 +320,14 @@ def plate_stage2(
 ) -> jax.Array:
     """Centerline-relative distance weighting + downsample, one program.
 
-    masks are the component-filtered segmentation masks (host stage);
-    skels_pre the pre-filter skeletons — either a bool raster or the
-    bit-packed uint8 form plate_stage1 returns (component filtering only
-    removes whole components, so the filtered skeleton is
-    skels_pre & masks). Returns preds * dist/(dist+centerline_dt)
-    resized to ``dsamp``.
+    masks are the component-filtered segmentation masks (host stage) —
+    either a bool raster or host-np.packbits uint8 (the H2D of the full
+    bool raster was the one unpacked transfer left in the postprocess
+    loop; ~an eighth of the bytes through a slow link). skels_pre are the
+    pre-filter skeletons — bool or the bit-packed uint8 form plate_stage1
+    returns (component filtering only removes whole components, so the
+    filtered skeleton is skels_pre & masks). Returns
+    preds * dist/(dist+centerline_dt) resized to ``dsamp``.
     """
     from tmat_tpu.ops.distance import edt_batch as _edt_batch
     from tmat_tpu.ops.resize import resize as _resize
@@ -333,9 +335,12 @@ def plate_stage2(
     sharding = _data_sharding(mesh)
     w = preds.shape[-1]
     packed = skels_pre.dtype == jnp.uint8 and skels_pre.shape[-1] != w
+    masks_packed = masks.dtype == jnp.uint8 and masks.shape[-1] != w
 
     def build():
         def fn(preds, masks, skels_pre):
+            if masks_packed:
+                masks = unpackbits_device(masks, w)
             skels = skels_pre
             if packed:
                 skels = unpackbits_device(skels, w)
@@ -351,7 +356,7 @@ def plate_stage2(
             out_shardings=sharding,
         )
 
-    fn = _cached(("stage2", mesh, preds.shape, dsamp, packed), build)
+    fn = _cached(("stage2", mesh, preds.shape, dsamp, packed, masks_packed), build)
     args = (
         jax.device_put(preds, sharding),
         jax.device_put(masks, sharding),

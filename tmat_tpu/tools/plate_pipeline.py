@@ -133,8 +133,11 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
                 ]
             )
         with timer.stage("post_stage2"):
+            # H2D the filtered masks bit-packed (the last full-raster
+            # transfer in the loop); stage2 unpacks on device
+            masks_pk = np.packbits(masks, axis=-1)
             p384 = np.asarray(
-                plate_stage2(mesh, p, jnp.asarray(masks), s, dsamp)
+                plate_stage2(mesh, p, jnp.asarray(masks_pk), s, dsamp)
             )
     with timer.stage("morse_graphs"):
         stats = [

@@ -31,7 +31,7 @@ import numpy as np
 
 from tmat_tpu.core.log import SFM
 
-TOOL_CHOICES = ("zproj", "area", "branches", "inv_depth")
+TOOL_CHOICES = ("zproj", "area", "branches", "inv_depth", "plate")
 
 
 def _parse(argv=None) -> argparse.Namespace:
@@ -132,6 +132,30 @@ def main(args=None, argv=None):
                 ("branches", lambda out: compute_branches.main(
                     argv=[
                         str(in_dir),
+                        str(out),
+                        "--image-width-microns",
+                        str(args.image_width_microns),
+                    ]))
+            )
+        if "plate" in args.tools:
+            from tmat_tpu.tools import plate_pipeline
+
+            # one synthetic well per mesh device: the plate stage1/stage2
+            # compile keys include the chunk size (= device count), so a
+            # warm run here serves process_plate's executables at this
+            # geometry from the AOT cache
+            import jax
+
+            plate_in = tmp / "plate_in"
+            rng_p = np.random.RandomState(1)
+            for i in range(jax.device_count()):
+                _write_stack(
+                    plate_in / f"stack_W{i + 1}", args.z, args.size, rng_p
+                )
+            runs.append(
+                ("plate", lambda out: plate_pipeline.main(
+                    argv=[
+                        str(plate_in),
                         str(out),
                         "--image-width-microns",
                         str(args.image_width_microns),
