@@ -132,6 +132,9 @@ def run_plate_workload(n_wells: int, dtype=None, n_reps: int = 3) -> dict:
         "best": max(throughputs),
         "spread": [min(throughputs), max(throughputs)],
         "n_reps": n_reps,
+        # last rep's per-stage totals (seconds): postprocess attribution
+        # for benchmarks/postprocess_profile.py
+        "stage_totals": dict(timer.totals),
     }
 
 
