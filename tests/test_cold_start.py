@@ -32,9 +32,14 @@ _RUN_TOOL = textwrap.dedent(
     from tmat_tpu.tools import compute_branches
     from tmat_tpu.core import aot_cache
 
-    in_dir, out_dir = sys.argv[1], sys.argv[2]
+    in_dir, out_dir, stack_dir, out3d_dir = sys.argv[1:5]
     compute_branches.main(argv=[
         in_dir, out_dir, "--image-width-microns", "1000", "--no-vis",
+    ])
+    # 3-D Sato path in the same process (separate input root: the tool
+    # requires files XOR dirs per root)
+    compute_branches.main(argv=[
+        stack_dir, out3d_dir, "--image-width-microns", "1000", "--no-vis",
     ])
     print("AOT_STATS=" + json.dumps(aot_cache.stats))
     """
@@ -82,12 +87,27 @@ def _setup_base(base, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
     Image.fromarray(img).save(in_dir / "wellA.tif")
-    return in_dir
+
+    # one small z-stack for the 3-D Sato path (dir-of-slices layout)
+    stack_dir = tmp_path / "in3d" / "stackA"
+    stack_dir.mkdir(parents=True)
+    for z in range(3):
+        sl = np.roll(img, z * 2, axis=0)
+        Image.fromarray(sl).save(stack_dir / f"stackA_z{z:02d}.tif")
+    return in_dir, tmp_path / "in3d"
 
 
-def _run(in_dir, out_dir, env) -> dict:
+def _run(in_dir, out_dir, in3d_dir, out3d_dir, env) -> dict:
     proc = subprocess.run(
-        [sys.executable, "-c", _RUN_TOOL, str(in_dir), str(out_dir)],
+        [
+            sys.executable,
+            "-c",
+            _RUN_TOOL,
+            str(in_dir),
+            str(out_dir),
+            str(in3d_dir),
+            str(out3d_dir),
+        ],
         capture_output=True,
         text=True,
         timeout=600,
@@ -95,6 +115,7 @@ def _run(in_dir, out_dir, env) -> dict:
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert (out_dir / "branching_analysis.csv").is_file(), proc.stdout
+    assert (out3d_dir / "branching_analysis.csv").is_file(), proc.stdout
     for line in proc.stdout.splitlines():
         if line.startswith("AOT_STATS="):
             return json.loads(line[len("AOT_STATS="):])
@@ -104,7 +125,7 @@ def _run(in_dir, out_dir, env) -> dict:
 @pytest.mark.slow
 def test_second_process_runs_with_zero_aot_misses(tmp_path):
     base = tmp_path / "base"
-    in_dir = _setup_base(base, tmp_path)
+    in_dir, in3d_dir = _setup_base(base, tmp_path)
 
     env = dict(os.environ)
     env.update(
@@ -115,11 +136,12 @@ def test_second_process_runs_with_zero_aot_misses(tmp_path):
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
     )
 
-    stats1 = _run(in_dir, tmp_path / "out1", env)
-    assert stats1["misses"] >= 1, stats1
+    stats1 = _run(in_dir, tmp_path / "out1", in3d_dir, tmp_path / "o3d1", env)
+    # the 2-D tiled pipeline + the three 3-D Sato-path programs at minimum
+    assert stats1["misses"] >= 4, stats1
     assert stats1["hits"] == 0, stats1
 
-    stats2 = _run(in_dir, tmp_path / "out2", env)
+    stats2 = _run(in_dir, tmp_path / "out2", in3d_dir, tmp_path / "o3d2", env)
     assert stats2["misses"] == 0, (
         "a fresh process at a warmed geometry must be served every "
         f"AOT-managed program from disk: {stats2}"
@@ -127,6 +149,7 @@ def test_second_process_runs_with_zero_aot_misses(tmp_path):
     assert stats2["hits"] == stats1["misses"], stats2
 
     # identical outputs across the compile/deserialize boundary
-    csv1 = (tmp_path / "out1" / "branching_analysis.csv").read_bytes()
-    csv2 = (tmp_path / "out2" / "branching_analysis.csv").read_bytes()
-    assert csv1 == csv2
+    for a, b in (("out1", "out2"), ("o3d1", "o3d2")):
+        csv1 = (tmp_path / a / "branching_analysis.csv").read_bytes()
+        csv2 = (tmp_path / b / "branching_analysis.csv").read_bytes()
+        assert csv1 == csv2

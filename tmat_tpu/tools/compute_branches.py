@@ -191,6 +191,30 @@ def _stack_final(vessels_mask, vessels):
     return gaussian(out, 1.0, mode="nearest")
 
 
+# per-(shape, target) jit closures for the vesselness head: the AOT
+# executable cache needs a callable whose runtime signature is arrays
+# only, so the static target_shape is baked into a cached closure
+_VESSELNESS_JITS: dict = {}
+
+
+def _aot_3d(jitted, args, key_parts):
+    """3-D path programs close over no weights — geometry-keyed entries in
+    the cross-process executable cache (core/aot_cache.py) are safe and
+    remove the dominant per-process compiles of the Sato path."""
+    from tmat_tpu.core.aot_cache import aot_call
+
+    return aot_call(jitted, args, key_parts, label="branches3d")
+
+
+def _stack_vesselness_aot(img, target_shape):
+    key = (tuple(img.shape), str(np.asarray(img).dtype), tuple(target_shape))
+    fn = _VESSELNESS_JITS.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: _stack_vesselness(x, target_shape))
+        _VESSELNESS_JITS[key] = fn
+    return _aot_3d(fn, (jnp.asarray(img),), ("branches3d_vesselness",) + key)
+
+
 def _ecc_diameter_filter(skel_np: np.ndarray, thresh: float = 3.5) -> np.ndarray:
     """Drop skeleton components with eccentricity * equivalent diameter
     <= thresh (compute_branches.py:276-279) — one labeling pass feeding
@@ -283,18 +307,26 @@ def analyze_img(
         # label-dependent component filters); each interlude fetches one
         # 384px raster — the previous per-op chain paid ~8 dispatches +
         # fetches per stack and was latency-bound through the TPU tunnel
-        vessels, edges, skel = _stack_vesselness(img, img_dsamp_res)
+        vessels, edges, skel = _stack_vesselness_aot(img, img_dsamp_res)
 
         mask_np = _ecc_diameter_filter(np.asarray(skel).astype(np.uint8))
 
-        vessels_mask = _stack_expand(jnp.asarray(mask_np > 0), vessels, edges)
+        vessels_mask = _aot_3d(
+            _stack_expand,
+            (jnp.asarray(mask_np > 0), vessels, edges),
+            ("branches3d_expand", tuple(mask_np.shape)),
+        )
 
         vessels_mask = filter_branch_seg_mask(
             np.asarray(vessels_mask).astype(np.uint8), None, False
         )
 
         analysis_img = np.asarray(
-            _stack_final(jnp.asarray(vessels_mask > 0), vessels)
+            _aot_3d(
+                _stack_final,
+                (jnp.asarray(vessels_mask > 0), vessels),
+                ("branches3d_final", tuple(np.asarray(vessels_mask).shape)),
+            )
         )
         sv(analysis_img, vis_dir, "vesselness_image.png")
     else:
