@@ -46,16 +46,40 @@ def load_img(img_path, dsamp_size=None, T=None, C=None) -> np.ndarray:
     return img
 
 
+# per-(shape, masked, dtype) jit closures: the rescale + mask + GMM-EM
+# threshold chain runs as ONE device program (dispatch latency through
+# remote TPU runtimes is per-program), served from the cross-process AOT
+# executable cache (no closed-over weights — geometry-keyed is safe)
+_MT_JITS: dict = {}
+
+
 def mask_and_threshold(img, sd_coef, well_mask=None) -> np.ndarray:
     """Rescale to [0,1], mask, GMM-threshold, binarize
     (compute_cell_area.py:60-87)."""
-    img = rescale_intensity(jnp.asarray(img, jnp.float32), out_range=(0, 1))
-    if well_mask is not None:
-        wm = jnp.asarray(well_mask)
-        img = jnp.where(wm > 0, img, 0.0)
-        out = exec_threshold(img, wm, sd_coef)
+    import jax
+
+    from tmat_tpu.core.aot_cache import aot_call
+
+    img = jnp.asarray(img)
+    masked = well_mask is not None
+    key = (tuple(img.shape), img.dtype.name, masked)
+    fn = _MT_JITS.get(key)
+    if fn is None:
+        if masked:
+            def core(x, wm, coef):
+                x = rescale_intensity(x.astype(jnp.float32), out_range=(0, 1))
+                x = jnp.where(wm > 0, x, 0.0)
+                return exec_threshold(x, wm, coef)
+        else:
+            def core(x, coef):
+                x = rescale_intensity(x.astype(jnp.float32), out_range=(0, 1))
+                return exec_threshold(x, None, coef)
+        fn = _MT_JITS[key] = jax.jit(core)
+    if masked:
+        args = (img, jnp.asarray(well_mask), jnp.float32(sd_coef))
     else:
-        out = exec_threshold(img, None, sd_coef)
+        args = (img, jnp.float32(sd_coef))
+    out = aot_call(fn, args, ("cell_area_mt",) + key, label="cell_area")
     return (np.asarray(out) > 0).astype(np.uint8) * defs.MAX_UINT8
 
 
@@ -160,7 +184,16 @@ def main(args=None, argv=None):
                     ]
                 )
                 ones = jnp.ones_like(stack)
-                out = np.asarray(exec_threshold_batch(stack, ones, sd_coef))
+                from tmat_tpu.core.aot_cache import aot_call
+
+                out = np.asarray(
+                    aot_call(
+                        exec_threshold_batch,
+                        (stack, ones, jnp.float32(sd_coef)),
+                        ("cell_area_batch", tuple(stack.shape)),
+                        label="cell_area",
+                    )
+                )
                 for j, i in enumerate(idxs):
                     thresholded[i] = (out[j] > 0).astype(np.uint8) * defs.MAX_UINT8
 

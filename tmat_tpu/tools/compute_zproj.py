@@ -18,8 +18,32 @@ import numpy as np
 
 from tmat_tpu.core import io as tio
 from tmat_tpu.core.log import SFM, END_SEPARATOR, section_header
-from tmat_tpu.ops.zproj import PROJ_METHODS
+from tmat_tpu.ops.zproj import PROJ_METHODS, proj_focus_stacking
 from tmat_tpu.tools import args as su
+
+# per-(shape, dtype) jit closures for the focus-stacking projection so the
+# AOT executable cache can serve it cross-process (no closed-over weights)
+_FS_JITS: dict = {}
+
+
+def _fs_aot(img):
+    import jax
+    import jax.numpy as jnp
+
+    from tmat_tpu.core.aot_cache import aot_call
+
+    img = jnp.asarray(img)
+    key = (tuple(img.shape), img.dtype.name)
+    fn = _FS_JITS.get(key)
+    if fn is None:
+        fn = _FS_JITS[key] = jax.jit(proj_focus_stacking)
+    try:
+        return aot_call(fn, (img,), ("zproj_fs",) + key, label="zproj")
+    except jax.errors.JaxRuntimeError:
+        # a Mosaic compile failure surfaces here (not inside
+        # proj_focus_stacking's own dispatch-time fallback when traced
+        # under this jit) — the eager path warns and falls back to XLA
+        return proj_focus_stacking(img)
 
 
 def main(args=None, argv=None):
@@ -58,7 +82,15 @@ def main(args=None, argv=None):
             sys.exit(1)
         # med/avg of integer stacks produce floats; save_image keeps them as
         # float TIFFs (mirroring the reference's cv2.imwrite behavior)
-        zproj = np.asarray(proj_method(img))
+        if args.method == "fs":
+            # focus stacking is the one heavy zproj program (blur +
+            # Laplacian + argmax-gather); serve it from the cross-process
+            # AOT executable cache. The jit closure preserves the Pallas
+            # dispatch inside proj_focus_stacking; if the Mosaic payload
+            # resists serialization, aot_call falls back to plain jit.
+            zproj = np.asarray(_fs_aot(img))
+        else:
+            zproj = np.asarray(proj_method(img))
         out_ext = Path(np.atleast_1d(zs_path)[0]).suffix.lower()
         if out_ext not in (".tif", ".tiff", ".png"):
             out_ext = ".tiff"
