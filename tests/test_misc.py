@@ -167,3 +167,25 @@ def test_gui_plate_tab_runs(tmp_path, rng, monkeypatch):
     )
     gui.run_tool(tab, ns)
     assert (tmp_path / "out" / "plate_results.csv").is_file()
+
+
+def test_gui_plate_tab_rejects_bad_tta(tmp_path):
+    """GUI namespaces bypass argparse choices; plate main re-validates the
+    tta field (5 is not a dihedral subgroup size) and exits 2."""
+    import pytest
+
+    from tmat_tpu.tools import plate_pipeline
+
+    tab = next(t for t in gui.TABS if t.tool == "plate_pipeline")
+    ns = gui.build_namespace(
+        tab,
+        {
+            "in_root": str(tmp_path),
+            "out_root": str(tmp_path / "out"),
+            "image_width_microns": "800",
+            "tta": "5",
+        },
+    )
+    with pytest.raises(SystemExit) as exc:
+        plate_pipeline.main(args=ns)
+    assert exc.value.code == 2

@@ -59,6 +59,7 @@ TABS: List[ToolTab] = [
             Field("graph_smoothing_window", "Smoothing window (µm)", "float"),
             Field("remove_isolated_branches", "Remove isolated branches", "bool", False),
             Field("model_cfg_path", "Model config path", "str"),
+            Field("tta", "TTA variants (8/4/1; 8 = reference parity)", "int"),
             Field("config", "Config file", "str"),
         ],
     ),
@@ -99,6 +100,7 @@ TABS: List[ToolTab] = [
             Field("detect_well", "Detect well boundary", "bool", False),
             Field("sd_coef", "SD coefficient", "float"),
             Field("model_cfg", "Model config path", "str"),
+            Field("tta", "TTA variants (8/4/1; 8 = reference parity)", "int"),
         ],
     ),
 ]

@@ -611,7 +611,15 @@ def main(args=None, argv=None):
     model = get_unet_patch_segmentor_from_cfg(model_cfg_path)
     if args_dict.get("tta"):
         # opt-in fast mode for the 2-D tiled UNet (same contract as
-        # process_plate's --tta; plate_pipeline.py main)
+        # process_plate's --tta; plate_pipeline.py main). GUI-dispatched
+        # namespaces bypass argparse choices — re-validate here.
+        if int(args_dict["tta"]) not in (1, 4, 8):
+            print(
+                f"{SFM.failure} Invalid tta value: {args_dict['tta']!r} "
+                "(choose 1, 4 or 8)",
+                flush=True,
+            )
+            sys.exit(2)
         model.tta = int(args_dict["tta"])
 
     config["time"] = args.time

@@ -550,6 +550,13 @@ def main(args=None, argv=None):
                 flush=True,
             )
             sys.exit(2)
+        if getattr(args, "tta", None) and int(args.tta) not in (1, 4, 8):
+            print(
+                f"{SFM.failure} Invalid tta value: {args.tta!r} "
+                "(choose 1, 4 or 8)",
+                flush=True,
+            )
+            sys.exit(2)
 
     from tmat_tpu.tools import args as su
 
