@@ -140,15 +140,44 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
     if compiled is not None:
         return compiled(*args)
 
-    compiled = _load_or_compile(jitted, args, key, label)
+    compiled, from_disk = _load_or_compile(jitted, args, key, label)
     if compiled is None:  # serialization unsupported for this program
         return jitted(*args)
+    if from_disk:
+        # deserialized executables can fail LAZILY: execution enqueues but
+        # the output buffers error at materialization (seen on XLA:CPU
+        # AOT loads under machine-feature strictness). Validate the first
+        # call end-to-end — force every output leaf to host — before
+        # trusting the entry; on any failure drop it and recompile.
+        try:
+            out = compiled(*args)
+            import jax
+            import numpy as np
+
+            jax.tree.map(np.asarray, out)
+        except Exception:
+            stats["errors"] += 1
+            stats["hits"] -= 1  # the load did not actually serve
+            try:
+                (cache_dir() / f"{key}.jaxexec").unlink()
+            except OSError:
+                pass
+            compiled, _ = _load_or_compile(jitted, args, key, label)
+            if compiled is None:
+                return jitted(*args)
+            with _LOCK:
+                _MEM[key] = compiled
+            return compiled(*args)
+        with _LOCK:
+            _MEM[key] = compiled
+        return out
     with _LOCK:
         _MEM[key] = compiled
     return compiled(*args)
 
 
 def _load_or_compile(jitted, args, key: str, label: str):
+    """Returns (compiled_or_None, from_disk)."""
     from jax.experimental import serialize_executable as se
 
     path = cache_dir() / f"{key}.jaxexec"
@@ -169,7 +198,7 @@ def _load_or_compile(jitted, args, key: str, label: str):
                 execution_devices=[by_id[i] for i in device_ids],
             )
             stats["hits"] += 1
-            return compiled
+            return compiled, True
         except Exception:
             # corrupt/incompatible entry: recompile and overwrite below
             stats["errors"] += 1
@@ -182,7 +211,7 @@ def _load_or_compile(jitted, args, key: str, label: str):
         compiled = jitted.lower(*args).compile()
     except AttributeError:
         stats["errors"] += 1
-        return None  # not a jit-wrapped callable
+        return None, False  # not a jit-wrapped callable
     stats["misses"] += 1
     try:
         serialized, in_tree, out_tree = se.serialize(compiled)
@@ -200,7 +229,7 @@ def _load_or_compile(jitted, args, key: str, label: str):
         # e.g. NotImplementedError("serialize_executables with const_args")
         # or a read-only cache dir: still serve the compiled program
         stats["errors"] += 1
-    return compiled
+    return compiled, False
 
 
 def prune(max_bytes: int = 2 << 30) -> int:

@@ -85,4 +85,13 @@ def prep_inv_depth_imgs_hybrid(images, img_hw: Tuple[int, int]) -> jax.Array:
         resized = np.clip(np.rint(resized), info.min, info.max).astype(
             images.dtype
         )
-    return _prep_resized(resized)
+    # the fused device tail closes over no weights: serve it from the
+    # cross-process AOT executable cache keyed on geometry alone
+    from tmat_tpu.core.aot_cache import aot_call
+
+    return aot_call(
+        _prep_resized,
+        (resized,),
+        ("inv_prep_tail", tuple(resized.shape), str(resized.dtype)),
+        label="inv_prep",
+    )
