@@ -196,6 +196,51 @@ def _stack_final(vessels_mask, vessels):
 # only, so the static target_shape is baked into a cached closure
 _VESSELNESS_JITS: dict = {}
 
+# 2-D path fused head/tail (mirrors the plate pipeline's stage1/stage2
+# fusion): the eager resize/rescale and medial-axis/EDT/downsample
+# chains each dispatched ~5 small programs per image — per-program
+# dispatch latency and per-process compiles both scale with program
+# count through remote TPU runtimes
+_BRANCH2D_JITS: dict = {}
+
+
+def _branch2d_head(raw_img, target_shape):
+    """resize (lanczos4, ds_ratio geometry) + [0,1] rescale, ONE program.
+    Returns (resized_f32, rescaled) — the resized image feeds the vis
+    PNG, the rescaled one the segmentor (compute_branches.py:318-330)."""
+    key = ("head", tuple(raw_img.shape), str(np.asarray(raw_img).dtype), tuple(target_shape))
+    fn = _BRANCH2D_JITS.get(key)
+    if fn is None:
+        def core(x):
+            resized = resize(x.astype(jnp.float32), tuple(target_shape), "lanczos4")
+            return resized, rescale_intensity(resized, out_range=(0, 1))
+
+        fn = _BRANCH2D_JITS[key] = jax.jit(core)
+    return _aot_3d(fn, (jnp.asarray(raw_img),), ("branch2d",) + key)
+
+
+def _branch2d_tail(seg_mask, pred, dsamp_res):
+    """Centerline-relative distance weighting + working-width downsample,
+    ONE program (compute_branches.py:338-356; the plate twin is
+    parallel/plate.plate_stage2). Returns (weighted_pred, analysis_img)."""
+    from tmat_tpu.ops.distance import edt as _edt
+
+    key = ("tail", tuple(np.asarray(seg_mask).shape), tuple(dsamp_res))
+    fn = _BRANCH2D_JITS.get(key)
+    if fn is None:
+        def core(mask, p):
+            skel, dist = morph.medial_axis(mask, return_distance=True)
+            cdt = _edt(~skel)
+            rel = dist / jnp.maximum(dist + cdt, 1e-12)
+            weighted = p * rel
+            return weighted, resize(weighted, tuple(dsamp_res), "linear")
+
+        fn = _BRANCH2D_JITS[key] = jax.jit(core)
+    return _aot_3d(
+        fn, (jnp.asarray(seg_mask, bool), jnp.asarray(pred, jnp.float32)),
+        ("branch2d",) + key,
+    )
+
 
 def _aot_3d(jitted, args, key_parts):
     """3-D path programs close over no weights — geometry-keyed entries in
@@ -332,12 +377,10 @@ def analyze_img(
     else:
         # --- 2-D image: UNet patch segmentation (fused tiled inference) ---
         target_shape = target_shape_for_ratio(img.shape[:2], model.ds_ratio)
-        img = np.asarray(
-            resize(jnp.asarray(img, jnp.float32), target_shape, "lanczos4")
-        )
-        original_image = img.copy()
+        resized, rescaled = _branch2d_head(img, target_shape)
+        original_image = np.asarray(resized)
         sv(original_image, vis_dir, "original_image.png")
-        img = np.asarray(rescale_intensity(jnp.asarray(img), out_range=(0, 1)))
+        img = np.asarray(rescaled)
 
         if use_well_mask:
             well_mask, shrunken = make_well_mask(img)
@@ -356,21 +399,13 @@ def analyze_img(
         seg_mask = filter_branch_seg_mask((seg_mask * well_mask).astype(np.uint8))
         seg_mask = seg_mask.astype(float)
 
-        from tmat_tpu.ops.distance import edt
-
-        skel, dist = morph.medial_axis(jnp.asarray(seg_mask > 0), return_distance=True)
-        centerline_dt = edt(~skel)
-        relative_dt = np.asarray(
-            dist / jnp.maximum(dist + centerline_dt, 1e-12)
-        )
-        pred = pred * relative_dt
+        weighted, analysis = _branch2d_tail(seg_mask > 0, pred, img_dsamp_res)
+        pred = np.asarray(weighted)
 
         sv(seg_mask, vis_dir, "segmentation_mask.png")
         sv(pred, vis_dir, "distance_transform.png")
 
-        analysis_img = np.asarray(
-            resize(jnp.asarray(pred, jnp.float32), img_dsamp_res, "linear")
-        )
+        analysis_img = np.asarray(analysis)
         pruning_mask = (
             np.asarray(
                 resize(jnp.asarray(pruning_mask, jnp.float32), img_dsamp_res, "nearest")
