@@ -16,12 +16,15 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tmat_tpu.ops.rescale import rescale_intensity
 from tmat_tpu.ops.resize import resize
 
-# Keras caffe-mode ImageNet means (BGR order)
-_CAFFE_MEAN_BGR = jnp.array([103.939, 116.779, 123.68], jnp.float32)
+# Keras caffe-mode ImageNet means (BGR order). numpy on purpose: a
+# module-level jnp.array costs an eager device convert (one remote XLA
+# compile per process) at import time; traced code embeds it either way.
+_CAFFE_MEAN_BGR = np.array([103.939, 116.779, 123.68], np.float32)
 
 
 def resnet50_preprocess(x: jax.Array) -> jax.Array:

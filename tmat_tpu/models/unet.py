@@ -173,16 +173,22 @@ def build_unet_xception(
         dtype=dtype,
         bn_momentum=bn_momentum,
     )
-    dummy = jnp.zeros((1, img_shape[0], img_shape[1], channels), jnp.float32)
+    # host dummy on purpose: an eager jnp.zeros here dispatched two device
+    # programs per process (convert + broadcast_in_dim) before anything
+    # useful ran — cold-start compile census, BASELINE.md
+    dummy_shape = (1, img_shape[0], img_shape[1], channels)
     if init == "zeros":
         shapes = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(seed), dummy, train=False)
+            lambda d: model.init(jax.random.PRNGKey(seed), d, train=False),
+            jax.ShapeDtypeStruct(dummy_shape, jnp.float32),
         )
         variables = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), shapes
         )
     else:
-        variables = model.init(jax.random.PRNGKey(seed), dummy, train=False)
+        variables = model.init(
+            jax.random.PRNGKey(seed), np.zeros(dummy_shape, np.float32), train=False
+        )
     return model, variables
 
 

@@ -16,11 +16,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tmat_tpu.ops.filters import gaussian, sepconv2d
 
-_SOBEL_SMOOTH = jnp.array([1.0, 2.0, 1.0])
-_SOBEL_DERIV = jnp.array([1.0, 0.0, -1.0])
+# numpy on purpose: module-level jnp.array dispatches an eager device
+# convert at import time — one remote XLA compile per process on the TPU
+# tunnel (cold-start census, BASELINE.md). Traced code embeds these as
+# constants either way.
+_SOBEL_SMOOTH = np.array([1.0, 2.0, 1.0], np.float32)
+_SOBEL_DERIV = np.array([1.0, 0.0, -1.0], np.float32)
 
 
 def _shift(x: jax.Array, dr: int, dc: int) -> jax.Array:

@@ -182,13 +182,14 @@ def _stack_expand(mask, vessels, edges):
 @jax.jit
 def _stack_final(vessels_mask, vessels):
     """Fused tail: dilate the filtered mask, re-apply vesselness, final
-    Gaussian (compute_branches.py:299-306)."""
+    Gaussian (compute_branches.py:299-306), then the Morse-input [0, 255]
+    stretch (the eager rescale_intensity cost ten per-process compiles)."""
     out = jnp.where(
         morph.binary_dilation(vessels_mask.astype(bool), morph.square(3)),
         vessels,
         0.0,
     )
-    return gaussian(out, 1.0, mode="nearest")
+    return rescale_intensity(gaussian(out, 1.0, mode="nearest"), out_range=(0, 255))
 
 
 # per-(shape, target) jit closures for the vesselness head: the AOT
@@ -220,12 +221,18 @@ def _branch2d_head(raw_img, target_shape):
 
 
 def _branch2d_tail(seg_mask, pred, dsamp_res):
-    """Centerline-relative distance weighting + working-width downsample,
-    ONE program (compute_branches.py:338-356; the plate twin is
-    parallel/plate.plate_stage2). Returns (weighted_pred, analysis_img)."""
+    """Centerline-relative distance weighting + working-width downsample +
+    Morse-input [0, 255] stretch, ONE program (compute_branches.py:338-356;
+    the plate twin is parallel/plate.plate_stage2). Returns
+    (weighted_pred, analysis_scaled) — the second output is the downsampled
+    analysis image already rescaled onto [0, 255] for the Morse stage (the
+    eager rescale_intensity dispatched ten per-process device compiles;
+    cold-start census, BASELINE.md)."""
     from tmat_tpu.ops.distance import edt as _edt
 
-    key = ("tail", tuple(np.asarray(seg_mask).shape), tuple(dsamp_res))
+    # "tail2": the program body changed when the 0-255 stretch was folded
+    # in — the key version retires round-4 "tail" cache entries
+    key = ("tail2", tuple(np.asarray(seg_mask).shape), tuple(dsamp_res))
     fn = _BRANCH2D_JITS.get(key)
     if fn is None:
         def core(mask, p):
@@ -233,7 +240,8 @@ def _branch2d_tail(seg_mask, pred, dsamp_res):
             cdt = _edt(~skel)
             rel = dist / jnp.maximum(dist + cdt, 1e-12)
             weighted = p * rel
-            return weighted, resize(weighted, tuple(dsamp_res), "linear")
+            analysis = resize(weighted, tuple(dsamp_res), "linear")
+            return weighted, rescale_intensity(analysis, out_range=(0, 255))
 
         fn = _BRANCH2D_JITS[key] = jax.jit(core)
     return _aot_3d(
@@ -366,13 +374,16 @@ def analyze_img(
             np.asarray(vessels_mask).astype(np.uint8), None, False
         )
 
+        # "final2": program body changed (0-255 stretch folded in) — the
+        # key version retires earlier cache entries
         analysis_img = np.asarray(
             _aot_3d(
                 _stack_final,
                 (jnp.asarray(vessels_mask > 0), vessels),
-                ("branches3d_final", tuple(np.asarray(vessels_mask).shape)),
+                ("branches3d_final2", tuple(np.asarray(vessels_mask).shape)),
             )
         )
+        # already on [0, 255]; save_vis's own stretch maps it identically
         sv(analysis_img, vis_dir, "vesselness_image.png")
     else:
         # --- 2-D image: UNet patch segmentation (fused tiled inference) ---
@@ -406,12 +417,21 @@ def analyze_img(
         sv(pred, vis_dir, "distance_transform.png")
 
         analysis_img = np.asarray(analysis)
-        pruning_mask = (
-            np.asarray(
-                resize(jnp.asarray(pruning_mask, jnp.float32), img_dsamp_res, "nearest")
+        if use_well_mask:
+            pruning_mask = (
+                np.asarray(
+                    resize(
+                        jnp.asarray(pruning_mask, jnp.float32),
+                        img_dsamp_res,
+                        "nearest",
+                    )
+                )
+                > 0
             )
-            > 0
-        )
+        else:
+            # all-False either way: resizing a zero raster cost two
+            # per-process device compiles on the no-well-mask path
+            pruning_mask = np.zeros(img_dsamp_res, bool)
 
     if use_well_mask:
         sv(np.asarray(well_mask) * 255, vis_dir, "well_mask.png")
@@ -470,9 +490,9 @@ def analyze_img(
             )
         )
 
-        scaled_img = np.asarray(
-            rescale_intensity(jnp.asarray(analysis_img), out_range=(0, 255))
-        )
+        # both paths' fused tails already stretch the analysis image onto
+        # [0, 255] on device (_branch2d_tail / _stack_final)
+        scaled_img = analysis_img
         morse_kwargs = dict(
             thresholds=(cfg["thresh1"], cfg["thresh2"]),
             smoothing_window=smoothing_window_px,

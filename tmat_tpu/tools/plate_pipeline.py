@@ -367,6 +367,17 @@ def run_plate_streaming(
             # None for unfingerprintable test doubles -> plain jit path)
             aot_key=getattr(segmentor, "_aot_key", None),
         )
+        # enqueue the D2H copies of the host-consumed outputs RIGHT behind
+        # their producing program (dispatch above is async): fetched later
+        # from _finish_chunk they would queue behind other chunks' stage1
+        # programs on the single device stream — measured 378 ms/well for
+        # ~0.26 MB (postprocess_profile, round 4), pure serialization.
+        # preds (outs[1]) stays device-resident for stage2: not copied.
+        for out in (outs[0], outs[2], outs[3]):
+            try:
+                out.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # pragma: no cover
+                break  # fallback: the sync fetch path is always correct
         return _finish_chunk(outs, pruning_chunk, mesh, dsamp, config, timer)
 
     well_ids: list = []

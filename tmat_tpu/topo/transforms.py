@@ -64,6 +64,51 @@ def median_filter_batch(x) -> jnp.ndarray:
     return _median_filter_disk2_batch(jnp.asarray(x))
 
 
+# geometry-keyed fused (disk(2) median -> skeletonize) closures for the
+# default filter_branch_seg_mask path: the unfused chain dispatched six
+# eager device programs per image (pad/slice/stack/median + skeletonize),
+# each a per-process remote XLA compile on the TPU tunnel (cold-start
+# census, BASELINE.md). Closes over no weights -> safe to AOT-cache.
+_MEDIAN_SKEL_JITS: dict = {}
+
+
+def _skeletonize_aot(mask_bool: np.ndarray) -> np.ndarray:
+    """Standalone geometry-keyed Zhang-Suen skeleton (the footprint=None
+    filter_branch_seg_mask path, e.g. the 3-D Sato pipeline) through the
+    cross-process executable cache — eager skeletonize was one more
+    per-process remote compile."""
+    key = tuple(mask_bool.shape)
+    fn = _MEDIAN_SKEL_JITS.get(("skel",) + key)
+    if fn is None:
+        fn = _MEDIAN_SKEL_JITS[("skel",) + key] = jax.jit(skeletonize)
+    from tmat_tpu.core.aot_cache import aot_call
+
+    return np.asarray(
+        aot_call(fn, (mask_bool,), ("skeletonize",) + key, label="skeletonize")
+    )
+
+
+def _median_skel_disk2(mask_u8: np.ndarray):
+    """(disk(2)-median-filtered uint8 mask, its Zhang-Suen skeleton) as ONE
+    cross-process-cached device program; bit-equal to
+    median_filter_footprint(mask, disk(2)) + skeletonize(med > 0)."""
+    key = tuple(mask_u8.shape)
+    fn = _MEDIAN_SKEL_JITS.get(key)
+    if fn is None:
+        def core(m):
+            med = _median_filter_disk2_batch(m[None].astype(jnp.float32))[0]
+            med = med.astype(jnp.uint8)
+            return med, skeletonize(med > 0)
+
+        fn = _MEDIAN_SKEL_JITS[key] = jax.jit(core)
+    from tmat_tpu.core.aot_cache import aot_call
+
+    med, skel = aot_call(
+        fn, (mask_u8,), ("median_skel_disk2",) + key, label="median_skel"
+    )
+    return np.asarray(med), np.asarray(skel)
+
+
 def nx_graph_from_binary_skeleton(skeleton: npt.NDArray) -> nx.Graph:
     """Weighted undirected graph of a binary skeleton
     (transforms.py:209-288)."""
@@ -132,7 +177,18 @@ def filter_branch_seg_mask(
             "precomputed_skeleton requires footprint=None: the skeleton must "
             "correspond to the mask actually labeled (post-median)"
         )
-    if footprint is not None:
+    seg_skel = None
+    if (
+        footprint is not None
+        and mask.dtype == np.uint8
+        and mask.ndim == 2
+        and footprint.shape == (5, 5)
+        and np.array_equal(footprint > 0, disk(2) > 0)
+    ):
+        # default disk(2) path: median + skeletonize fused into one
+        # AOT-cached program (the skeleton is needed below either way)
+        mask, seg_skel = _median_skel_disk2(mask)
+    elif footprint is not None:
         mask = median_filter_footprint(mask, footprint).astype(mask.dtype)
     else:
         mask = mask.copy()
@@ -145,8 +201,8 @@ def filter_branch_seg_mask(
     if ln.available():
         if precomputed_skeleton is not None:
             seg_skel = np.asarray(precomputed_skeleton)
-        else:
-            seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
+        elif seg_skel is None:
+            seg_skel = _skeletonize_aot(np.asarray(mask > 0))
         native = ln.branch_filter_native(mask, seg_skel, remove_isolated)
         if native is not None:
             return native
@@ -161,8 +217,8 @@ def filter_branch_seg_mask(
 
     if precomputed_skeleton is not None:
         seg_skel = np.asarray(precomputed_skeleton)
-    else:
-        seg_skel = np.asarray(skeletonize(jnp.asarray(mask > 0)))
+    elif seg_skel is None:
+        seg_skel = _skeletonize_aot(np.asarray(mask > 0))
 
     # Only per-component max degree and the owning seg label are needed;
     # both are vectorized raster reductions (the graph-building path cost
