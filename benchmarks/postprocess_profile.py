@@ -36,12 +36,19 @@ def main(argv=None):
         name: round(total / args.wells * 1000, 2)
         for name, total in stats["stage_totals"].items()
     }
-    # postprocess already contains the post_* sub-stages; morse_graphs is
-    # its own lump. The host tail per well is their sum.
-    host_tail = per_well.get("postprocess", 0.0) + per_well.get(
-        "morse_graphs", 0.0
+    # TRUE host work only: post_stage2 and device_wait are device-QUEUE
+    # time seen from a pool thread (each chunk's programs wait behind the
+    # other threads' programs on the single stream) — they shrink with
+    # chips like all device work and must not be projected as host tail.
+    # post_d2h collapsed from 378 to ~4 ms/well once the copies were
+    # enqueued asynchronously behind their producing program (round 4).
+    host_tail = sum(
+        per_well.get(k, 0.0)
+        for k in ("post_d2h", "post_unpack", "post_filter", "morse_graphs")
     )
-    device_ms = per_well.get("device_wait", 0.0)
+    # per-well device cost at 1 chip = the pipeline wall (the measured
+    # run is device-bound: host work overlaps under it)
+    device_ms = per_well.get("device_pipeline", 0.0)
 
     out = {
         "wells": args.wells,
