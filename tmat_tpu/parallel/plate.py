@@ -17,6 +17,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tmat_tpu.ops.rescale import rescale_intensity
@@ -151,7 +152,7 @@ def plate_threshold(
     return fn(
         jax.device_put(imgs, sharding),
         jax.device_put(masks, sharding),
-        jnp.float32(sd_coef),
+        np.float32(sd_coef),
     )
 
 
@@ -293,7 +294,7 @@ def plate_stage1(
     args = (
         jax.device_put(stacks, sharding),
         jax.device_put(wm_small, sharding),
-        jnp.float32(sd_coef),
+        np.float32(sd_coef),
         jax.device_put(jnp.asarray(z_counts, jnp.int32), sharding),
     )
     if aot_key is not None:

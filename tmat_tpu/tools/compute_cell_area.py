@@ -35,6 +35,28 @@ CALC_SUBDIR = "calculations"
 DEFAULT_CONFIG_NAME = "default_cell_area_computation.json"
 
 
+# geometry-keyed (convert -> linear resize) closures: the eager
+# jnp.asarray + resize pair cost two per-process device compiles per
+# input geometry (cold-start census, BASELINE.md round 4b)
+_RESIZE_JITS: dict = {}
+
+
+def _resize_f32_aot(img: np.ndarray, target) -> np.ndarray:
+    import jax
+
+    from tmat_tpu.core.aot_cache import aot_call
+
+    key = (tuple(img.shape), str(img.dtype), tuple(target))
+    fn = _RESIZE_JITS.get(key)
+    if fn is None:
+        fn = _RESIZE_JITS[key] = jax.jit(
+            lambda x: resize(x.astype(jnp.float32), tuple(target), "linear")
+        )
+    return np.asarray(
+        aot_call(fn, (img,), ("cell_area_resize",) + key, label="cell_area")
+    )
+
+
 def load_img(img_path, dsamp_size=None, T=None, C=None) -> np.ndarray:
     """Load, max-project if 3-D, and downsample (compute_cell_area.py:29-57)."""
     img = tio.load_image(img_path, T, C)[0]
@@ -42,7 +64,7 @@ def load_img(img_path, dsamp_size=None, T=None, C=None) -> np.ndarray:
         img = img.max(0)
     if dsamp_size is not None:
         target = downsample_max_dim_shape(img.shape, dsamp_size)
-        img = np.asarray(resize(jnp.asarray(img, jnp.float32), target, "linear"))
+        img = _resize_f32_aot(img, target)
     return img
 
 
@@ -75,10 +97,13 @@ def mask_and_threshold(img, sd_coef, well_mask=None) -> np.ndarray:
                 x = rescale_intensity(x.astype(jnp.float32), out_range=(0, 1))
                 return exec_threshold(x, None, coef)
         fn = _MT_JITS[key] = jax.jit(core)
+    # np.float32 on purpose: jnp.float32(x) eagerly converts on device —
+    # one more per-process compile; a host scalar enters the jit with the
+    # identical f32[] aval
     if masked:
-        args = (img, jnp.asarray(well_mask), jnp.float32(sd_coef))
+        args = (img, jnp.asarray(well_mask), np.float32(sd_coef))
     else:
-        args = (img, jnp.float32(sd_coef))
+        args = (img, np.float32(sd_coef))
     out = aot_call(fn, args, ("cell_area_mt",) + key, label="cell_area")
     return (np.asarray(out) > 0).astype(np.uint8) * defs.MAX_UINT8
 
@@ -177,20 +202,31 @@ def main(args=None, argv=None):
                         imgs[i], sd_coef, well_masks[i]
                     )
             else:
-                stack = jnp.stack(
-                    [
-                        rescale_intensity(jnp.asarray(imgs[i], jnp.float32), (0, 1))
-                        for i in idxs
-                    ]
-                )
-                ones = jnp.ones_like(stack)
+                import jax
+
                 from tmat_tpu.core.aot_cache import aot_call
 
+                stack = np.stack([imgs[i] for i in idxs])
+                # rescale folded INTO the batched program ("batch2" key:
+                # the body changed) — the eager per-image rescale chain
+                # dispatched ~8 device programs per process
+                key = (tuple(stack.shape), str(stack.dtype))
+                fn = _MT_JITS.get(("batch",) + key)
+                if fn is None:
+                    def core(x, coef):
+                        x = jax.vmap(
+                            lambda im: rescale_intensity(
+                                im.astype(jnp.float32), out_range=(0, 1)
+                            )
+                        )(x)
+                        return exec_threshold_batch(x, jnp.ones_like(x), coef)
+
+                    fn = _MT_JITS[("batch",) + key] = jax.jit(core)
                 out = np.asarray(
                     aot_call(
-                        exec_threshold_batch,
-                        (stack, ones, jnp.float32(sd_coef)),
-                        ("cell_area_batch", tuple(stack.shape)),
+                        fn,
+                        (stack, np.float32(sd_coef)),
+                        ("cell_area_batch2",) + key,
                         label="cell_area",
                     )
                 )
