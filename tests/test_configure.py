@@ -72,3 +72,27 @@ def test_unrecorded_env_dir_is_never_moved(isolated, monkeypatch):
 def test_missing_parent_exits(isolated):
     with pytest.raises(SystemExit):
         cfg_mod.configure(str(isolated / "no" / "such" / "parent" / "base"))
+
+
+def test_env_override_auto_configure_not_persisted(isolated, monkeypatch):
+    """Auto-configure under a TMAT_TPU_BASE_DIR session override must
+    materialise the dirs but NOT record the (possibly ephemeral) path in
+    package.cfg: a later process without the env var would inherit a
+    deleted temp dir as its base — observed as AOT/compile caches landing
+    in a pruned pytest tmpdir (round 4b)."""
+    env_dir = isolated / "session_base"
+    monkeypatch.setenv("TMAT_TPU_BASE_DIR", str(env_dir))
+    monkeypatch.setattr(defs, "BASE_DIR", env_dir)
+
+    out = cfg_mod.configure()  # the cli.py auto-configure call shape
+    assert out == env_dir
+    assert (env_dir / "config").is_dir()
+    assert (env_dir / "model_training").is_dir()
+    assert not (isolated / "package.cfg").exists(), (
+        "env-derived base dirs must not be persisted into the package tree"
+    )
+
+    # an explicit configure still records its target
+    target = isolated / "chosen_base"
+    cfg_mod.configure(str(target))
+    assert _recorded(isolated).endswith("chosen_base")

@@ -57,7 +57,19 @@ def _recorded_base_dir() -> Path | None:
 
 
 def configure(target_base_dir: str = "") -> Path:
-    """Materialise (or relocate) the user base dir; record in package.cfg."""
+    """Materialise (or relocate) the user base dir; record in package.cfg.
+
+    When the base dir comes purely from the TMAT_TPU_BASE_DIR env var
+    (no explicit target, no interactive choice), the dirs are
+    materialised but package.cfg is NOT written: the env var is a
+    session-scoped override (tests, benchmarks, CI point it at temp
+    dirs), and persisting it would redirect every later process that
+    lacks the var to a possibly-deleted path — observed as AOT/compile
+    caches landing in a pruned pytest tmpdir.
+    """
+    import os
+
+    explicit = bool(target_base_dir)
     if target_base_dir:
         _warn_mangled_windows_path(target_base_dir)
     elif sys.stdin is not None and sys.stdin.isatty():
@@ -70,6 +82,7 @@ def configure(target_base_dir: str = "") -> Path:
             flush=True,
         )
         target_base_dir = input(f"Base directory [{default}]: ") or default
+        explicit = True  # interactive choice (typed or accepted default)
 
     base_dir = (
         Path(target_base_dir).expanduser() if target_base_dir else defs.BASE_DIR
@@ -117,6 +130,18 @@ def configure(target_base_dir: str = "") -> Path:
 
     (base_dir / "model_training").mkdir(exist_ok=True)
     (base_dir / "output").mkdir(exist_ok=True)
+
+    env_base = os.environ.get("TMAT_TPU_BASE_DIR")
+    if not explicit and env_base:
+        # session-scoped env override (docstring above): dirs exist now,
+        # but nothing is recorded in the package tree
+        print(
+            f"{SFM.success} Base directory materialised at {base_dir} "
+            "(TMAT_TPU_BASE_DIR session override; not recorded in "
+            "package.cfg)",
+            flush=True,
+        )
+        return base_dir
 
     cfg = configparser.ConfigParser()
     cfg["metadata"] = {"name": defs.PKG_NAME}
