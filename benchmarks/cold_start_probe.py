@@ -34,12 +34,15 @@ import matplotlib
 matplotlib.use("Agg")
 from tmat_tpu.tools import compute_branches
 from tmat_tpu.core import aot_cache
+t_import = time.time() - t0
 compute_branches.main(argv=[
     sys.argv[1], sys.argv[2], "--image-width-microns", "1000", "--no-vis",
 ])
 print("PROBE " + json.dumps({
     "wall_to_done_s": round(time.time() - t0, 1),
-    "aot": aot_cache.stats,
+    "import_s": round(t_import, 1),
+    "aot": {k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in aot_cache.stats.items()},
 }))
 """
 

@@ -35,6 +35,7 @@ import os
 import pickle
 import tempfile
 import threading
+import time
 from pathlib import Path
 from typing import Callable, Optional, Tuple
 
@@ -45,7 +46,19 @@ _LOCK = threading.Lock()
 
 # observability for tests and BASELINE.md measurements: how many programs
 # were served from disk vs freshly compiled this process
-stats = {"hits": 0, "misses": 0, "disabled": 0, "errors": 0}
+# load_s / compile_s / validate_s attribute where a cold or warm process
+# spends its wall (the zero-compile cold-start probe showed minutes of
+# residual wall with 4/4 hits — these split deserialize+device-load vs
+# the first validated execution)
+stats = {
+    "hits": 0,
+    "misses": 0,
+    "disabled": 0,
+    "errors": 0,
+    "load_s": 0.0,
+    "compile_s": 0.0,
+    "validate_s": 0.0,
+}
 
 
 def ckpt_fingerprint(checkpoint_file) -> dict:
@@ -150,11 +163,13 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
         # call end-to-end — force every output leaf to host — before
         # trusting the entry; on any failure drop it and recompile.
         try:
+            t0 = time.perf_counter()
             out = compiled(*args)
             import jax
             import numpy as np
 
             jax.tree.map(np.asarray, out)
+            stats["validate_s"] += time.perf_counter() - t0
         except Exception:
             stats["errors"] += 1
             stats["hits"] -= 1  # the load did not actually serve
@@ -183,6 +198,7 @@ def _load_or_compile(jitted, args, key: str, label: str):
     path = cache_dir() / f"{key}.jaxexec"
     if path.is_file():
         try:
+            t0 = time.perf_counter()
             with open(path, "rb") as fp:
                 serialized, in_tree, out_tree, device_ids = pickle.load(fp)
             import jax
@@ -198,6 +214,7 @@ def _load_or_compile(jitted, args, key: str, label: str):
                 execution_devices=[by_id[i] for i in device_ids],
             )
             stats["hits"] += 1
+            stats["load_s"] += time.perf_counter() - t0
             return compiled, True
         except Exception:
             # corrupt/incompatible entry: recompile and overwrite below
@@ -208,7 +225,9 @@ def _load_or_compile(jitted, args, key: str, label: str):
                 pass
 
     try:
+        t0 = time.perf_counter()
         compiled = jitted.lower(*args).compile()
+        stats["compile_s"] += time.perf_counter() - t0
     except AttributeError:
         stats["errors"] += 1
         return None, False  # not a jit-wrapped callable
