@@ -4,7 +4,12 @@ Parity target: fl_tissue_model_tools/zstacks.py:18-131 (clean_zstack_ids,
 find_zstack_image_sequences, find_zstack_files) and exceptions.py:3-13.
 The discovery rules (``z<number>`` slice parsing, reversed multi-number
 lexicographic ordering, SequenceMatcher-based ID cleanup) are behavioral
-contracts of the reference CLI and are reproduced exactly.
+contracts of the reference CLI.
+
+PROVENANCE: re-implemented for this codebase from the reference's observed
+behavior, with tests/test_zdiscovery_oracle.py executing the reference's own
+functions as the parity oracle. One deliberate, documented divergence exists
+in the separator-flattening pass (see clean_zstack_ids).
 """
 
 from __future__ import annotations
@@ -20,88 +25,108 @@ FILES_AND_DIRS_ERROR = (
     "image files, but not both."
 )
 
+_ZNUM = re.compile(r"z\d+", re.IGNORECASE)
+_ZNUM_VALUE = re.compile(r"(?<=z)\d+", re.IGNORECASE)
+
 
 class ZStackInputError(Exception):
     """Raised when the Z-stack naming/numbering convention can't be parsed."""
 
 
+def _unless_collision(candidate: List[str], previous: List[str]) -> List[str]:
+    """Adopt a simplified id list only when every id stays distinct."""
+    return candidate if len(set(candidate)) == len(candidate) else previous
+
+
 def clean_zstack_ids(zstack_ids: List[str]) -> List[str]:
-    """Simplify stack IDs while keeping them unique (zstacks.py:18-61)."""
-    original_zstack_ids = zstack_ids
+    """Shorten stack IDs without ever letting two of them collapse into one.
 
-    # Drop directory prefixes that only repeat information in the basename
-    ids = []
-    for zid in zstack_ids:
-        name = osp.basename(zid)
-        dir_name = osp.dirname(zid)
-        if len(dir_name) > len(name) / 2:
-            matcher = SequenceMatcher(a=dir_name.lower(), b=name.lower())
-            sum_matches = sum(m.size for m in matcher.get_matching_blocks())
-            if sum_matches == len(dir_name):
-                zid = name
-        ids.append(zid)
-    zstack_ids = ids if len(set(ids)) == len(ids) else zstack_ids
+    Behavior of zstacks.py:18-61: four simplification passes — drop a
+    directory prefix that only repeats the basename, flatten path separators
+    to underscores, strip leading/trailing underscores, collapse doubled
+    underscores — each adopted only if all IDs remain distinct.
 
-    ids = [zid.replace("/", "_").replace("\\", "_") for zid in zstack_ids]
-    if len(set(ids)) != len(ids):
-        zstack_ids = [
-            zid.replace("/", "_").replace("\\", "_") for zid in original_zstack_ids
-        ]
-    else:
-        zstack_ids = ids
+    DOCUMENTED DIVERGENCE (see PARITY.md "semantic decisions"): the reference
+    keeps the separator-flattening pass only when the flattened ids *collide*
+    (then it flattens the original ids instead) and discards the flattening
+    when it is unique — leaving '/' in ids that downstream become filename
+    stems. Here the flattened ids are adopted whenever they stay unique.
+    tests/test_zdiscovery_oracle.py executes the reference's own
+    clean_zstack_ids and pins both the agreement everywhere else and this
+    one intentional difference.
+    """
+    raw = list(zstack_ids)
 
-    for transform in (str.lstrip, str.rstrip):
-        ids = [transform(zid, "_") for zid in zstack_ids]
-        zstack_ids = ids if len(set(ids)) == len(ids) else zstack_ids
+    def basename_if_redundant(zid: str) -> str:
+        leaf = osp.basename(zid)
+        stem = osp.dirname(zid)
+        if 2 * len(stem) <= len(leaf):
+            return zid
+        blocks = SequenceMatcher(a=stem.lower(), b=leaf.lower())
+        covered = sum(block.size for block in blocks.get_matching_blocks())
+        return leaf if covered == len(stem) else zid
 
-    ids = [zid.replace("__", "_") for zid in zstack_ids]
-    zstack_ids = ids if len(set(ids)) == len(ids) else zstack_ids
+    ids = _unless_collision([basename_if_redundant(z) for z in raw], raw)
 
-    return zstack_ids
+    def flatten(zid: str) -> str:
+        return zid.replace("/", "_").replace("\\", "_")
+
+    flat = [flatten(z) for z in ids]
+    # adopt-if-unique is the divergence documented above; on collision both
+    # sides flatten the *original* ids instead
+    ids = flat if len(set(flat)) == len(flat) else [flatten(z) for z in raw]
+
+    ids = _unless_collision([z.lstrip("_") for z in ids], ids)
+    ids = _unless_collision([z.rstrip("_") for z in ids], ids)
+    return _unless_collision([z.replace("__", "_") for z in ids], ids)
 
 
 def find_zstack_image_sequences(input_dir: str) -> Dict[str, List[str]]:
-    """Group numbered per-slice image files into Z stacks (zstacks.py:64-116)."""
-    img_paths = list(filter(osp.isfile, glob(osp.join(input_dir, "*"))))
-    if not img_paths:
-        img_paths = list(filter(osp.isfile, glob(osp.join(input_dir, "*", "*"))))
+    """Group numbered per-slice image files into Z stacks.
 
-    zslice_stack_ids = []
-    zslice_numbers_in_name = []
-    for img_path in img_paths:
-        relpath = osp.relpath(img_path, input_dir)
-        name = osp.basename(relpath)
-        dir_name = osp.dirname(relpath)
-        zstack_id = osp.join(dir_name, re.sub(r"z\d+", "", name, flags=re.IGNORECASE))
-        zstack_id = osp.splitext(zstack_id)[0]
-        zslice_stack_ids.append(zstack_id)
-        zslice_numbers_in_name.append(
-            list(map(int, re.findall(r"(?<=z)\d+", name, re.IGNORECASE)))[::-1]
-        )
+    Behavior of zstacks.py:64-116: files are taken from the directory itself,
+    or (if it holds none) one level down. A slice's stack ID is its relative
+    path with the ``z<number>`` token removed from the basename and the
+    extension stripped; slices sort by the reversed tuple of all z-numbers in
+    the name (so the *last* number varies fastest), ties broken by scan
+    order. Mixed numbering widths or duplicate number tuples inside one
+    stack are naming-convention errors.
+    """
+    paths = [p for p in glob(osp.join(input_dir, "*")) if osp.isfile(p)]
+    if not paths:
+        paths = [p for p in glob(osp.join(input_dir, "*", "*")) if osp.isfile(p)]
 
-    original_ids = list(set(zslice_stack_ids))
-    id_map = dict(zip(original_ids, clean_zstack_ids(original_ids)))
-    zslice_stack_ids = [id_map[zid] for zid in zslice_stack_ids]
+    stack_of = []  # per-slice stack id, parallel to paths
+    slice_keys = []  # per-slice reversed z-number list, parallel to paths
+    for path in paths:
+        rel = osp.relpath(path, input_dir)
+        leaf = osp.basename(rel)
+        sid = osp.join(osp.dirname(rel), _ZNUM.sub("", leaf))
+        stack_of.append(osp.splitext(sid)[0])
+        slice_keys.append([int(v) for v in _ZNUM_VALUE.findall(leaf)][::-1])
 
-    zstacks: Dict[str, List[str]] = {}
-    for zstack_id in set(zslice_stack_ids):
-        zstacks[zstack_id] = []
-        zs_inds = [i for i, zid in enumerate(zslice_stack_ids) if zid == zstack_id]
-        zs_nums_in_name = [zslice_numbers_in_name[i] for i in zs_inds]
-        if not all(len(nums) == len(zs_nums_in_name[0]) for nums in zs_nums_in_name):
+    distinct = list(set(stack_of))
+    renamed = dict(zip(distinct, clean_zstack_ids(distinct)))
+    stack_of = [renamed[s] for s in stack_of]
+
+    stacks: Dict[str, List[str]] = {}
+    for sid in set(stack_of):
+        members = [i for i, s in enumerate(stack_of) if s == sid]
+        keys = [slice_keys[i] for i in members]
+        if any(len(k) != len(keys[0]) for k in keys):
             raise ZStackInputError("Unrecognized Z slice naming convention")
-        if len({tuple(nums) for nums in zs_nums_in_name}) != len(zs_inds):
+        if len({tuple(k) for k in keys}) != len(members):
             raise ZStackInputError(
                 "Unrecognized Z slice numbering convention in image names"
             )
-        zs_nums = [nums + [i] for i, nums in zip(zs_inds, zs_nums_in_name)]
-        for nums in sorted(zs_nums):
-            zstacks[zstack_id].append(img_paths[nums[-1]])
+        order = sorted(key + [i] for i, key in zip(members, keys))
+        stacks[sid] = [paths[entry[-1]] for entry in order]
 
-    return zstacks
+    return stacks
 
 
 def find_zstack_files(input_dir: str) -> Dict[str, str]:
-    """Map stack IDs to single-file Z stacks (zstacks.py:119-131)."""
-    img_paths = list(filter(osp.isfile, glob(osp.join(input_dir, "*"))))
-    return {osp.splitext(osp.basename(fp))[0]: fp for fp in img_paths}
+    """Map stack IDs (filename stems) to single-file Z stacks
+    (behavior of zstacks.py:119-131)."""
+    paths = [p for p in glob(osp.join(input_dir, "*")) if osp.isfile(p)]
+    return {osp.splitext(osp.basename(p))[0]: p for p in paths}

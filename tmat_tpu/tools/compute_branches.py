@@ -436,35 +436,37 @@ def analyze_img(
     if use_well_mask:
         sv(np.asarray(well_mask) * 255, vis_dir, "well_mask.png")
 
-    # --- per-config graph sweeps (compute_branches.py:366-395) -------------
-    embed_graph_params = {
+    # --- per-config graph sweeps ---------------------------------------------
+    # Sweep-filename contract (behavior of compute_branches.py:366-395,
+    # re-derived): one config per (thresh1 x thresh2) combination; swept
+    # (multi-value) params are zero-padded into the filename tag so sweep
+    # outputs sort lexicographically.
+    sweep_axes = {
         "thresh1": np.atleast_1d(graph_thresh_1).tolist(),
         "thresh2": np.atleast_1d(graph_thresh_2).tolist(),
     }
-    param_names, param_vals = zip(*embed_graph_params.items())
-    cfgs = [dict(zip(param_names, comb)) for comb in product(*param_vals)]
-    tuned = [k for k, v in embed_graph_params.items() if len(v) > 1]
+    cfgs = [dict(zip(sweep_axes, combo)) for combo in product(*sweep_axes.values())]
+    tuned = [k for k, v in sweep_axes.items() if len(v) > 1]
 
-    param_str_fmts = {}
-    for k, v in embed_graph_params.items():
-        if all(isinstance(x, (int, float)) for x in v):
-            if all(isinstance(x, int) for x in v):
-                width = max(len(str(x)) for x in v)
-                param_str_fmts[k] = f"{{:0{width}d}}"
-            else:
-                width_left = max(str(float(x)).find(".") for x in v)
-                width_right = max(len(str(float(x)).split(".")[1]) for x in v)
-                param_str_fmts[k] = (
-                    f"{{:0{width_left + 1 + width_right}.{width_right}f}}"
-                )
-        else:
-            param_str_fmts[k] = "{}"
+    def _pad_format(values):
+        """Zero-padded format spec wide enough for every swept value."""
+        if not all(isinstance(x, (int, float)) for x in values):
+            return "{}"
+        if all(isinstance(x, int) for x in values):
+            digits = max(len(str(x)) for x in values)
+            return f"{{:0{digits}d}}"
+        as_text = [str(float(x)) for x in values]
+        int_digits = max(t.index(".") for t in as_text)
+        frac_digits = max(len(t) - t.index(".") - 1 for t in as_text)
+        return f"{{:0{int_digits + 1 + frac_digits}.{frac_digits}f}}"
+
+    pad_fmt = {k: _pad_format(v) for k, v in sweep_axes.items()}
 
     for cfg in cfgs:
-        tuned_str = "".join(
-            f"_{k}_{param_str_fmts[k].format(v)}" for k, v in cfg.items() if k in tuned
+        tag = "".join(
+            f"_{k}_{pad_fmt[k].format(v)}" for k, v in cfg.items() if k in tuned
         )
-        tuned_str = f"_CONFIG{tuned_str}" if tuned_str else ""
+        tuned_str = f"_CONFIG{tag}" if tag else ""
 
         if n_dims == 2:
             print("\nComputing graph and barcode...", flush=True)

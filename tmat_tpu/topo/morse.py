@@ -12,6 +12,16 @@ This is deliberately host-side graph code: the device produces the dense
 vesselness raster; the graph (thousands of vertices at the 384-px working
 width) is pure Python over a lightweight insertion-ordered graph (lightgraph.py),
 matching the architecture cut in SURVEY §7.
+
+PROVENANCE: the algorithms here (farthest-leaf branch ownership, leaf-up
+branch decomposition with a persistence barcode, anchored chain smoothing,
+two-phase segment pruning) are re-implementations written for this codebase
+from the *behavior* of the reference's MorseGraph, not from its text. Exact
+output parity — down to float accumulation order and the CPython set
+iteration orders the pruning walk depends on — is required by the golden
+tests (tests/test_reference_parity.py runs the reference itself as the
+oracle), so the traversal *semantics* are necessarily identical; the
+expression is this codebase's own.
 """
 
 from __future__ import annotations
@@ -89,9 +99,9 @@ class MorseGraph:
         self._branch_label = None
         self._vertices = None
         self.__compute_graph(img, thresholds)
-        self.__get_branch_labels()
-        self.__compute_branches_and_barcode()
-        self.__filter_graph()
+        self.__assign_branch_owners()
+        self.__decompose_into_branches()
+        self.__drop_short_branches()
 
     # ---------------------------------------------------------------- public
 
@@ -150,8 +160,8 @@ class MorseGraph:
 
     def __compute_graph(self, img, thresholds):
         G, vertices = self.__compute_nx_graph(img, *thresholds)
-        vertices = self.__smooth_graph(G, vertices, self.smoothing_window)
-        G = self.__trim_graph(
+        vertices = self.__relax_chains(G, vertices, self.smoothing_window)
+        G = self.__prune_segments(
             G,
             vertices,
             self._shape,
@@ -165,103 +175,116 @@ class MorseGraph:
         )
         self._vertices = vertices
 
-    def __get_branch_labels(self):
-        """Farthest-descendant-leaf branch labeling (topology.py:181-222)."""
-        parent = self._parent
-        verts = self._vertices
-        leaves = [n for n in self._G.nodes if self._G.degree[n] == 1]
-        max_dist_to_leaf = {v: -np.inf for v in self._G.nodes}
-        branch_label = {}
+    def __assign_branch_owners(self):
+        """Give every forest vertex to the branch of its farthest descendant
+        leaf (behavior of topology.py:181-222; re-derived, see PROVENANCE).
+
+        Each leaf climbs toward its root claiming the vertices it passes; the
+        climb stops at the first ancestor already claimed by a strictly more
+        distant leaf. Leaves are processed in forest node order, and the
+        per-edge distance accumulation runs leaf-upward — both load-bearing
+        for bit-parity with the goldens and the native engine.
+        """
+        up = self._parent
+        pos = self._vertices
+        leaves = [v for v in self._G.nodes if self._G.degree[v] == 1]
+        best_claim = dict.fromkeys(self._G.nodes, -np.inf)
+        owner = {}
         for leaf in leaves:
-            current_vertex = leaf
-            current_parent = parent[current_vertex]
-            max_dist_to_leaf[leaf] = current_distance = 0
-            branch_label[leaf] = leaf
-            while current_parent != current_vertex:
-                current_distance += self.__edge_len(
-                    verts, current_parent, current_vertex
-                )
-                if current_distance < max_dist_to_leaf[current_parent]:
+            owner[leaf] = leaf
+            best_claim[leaf] = 0.0
+            climbed = 0.0
+            v = leaf
+            while True:
+                anc = up[v]
+                if anc == v:  # reached this tree's root
                     break
-                current_vertex = current_parent
-                current_parent = parent[current_vertex]
-                max_dist_to_leaf[current_vertex] = current_distance
-                branch_label[current_vertex] = leaf
+                climbed += self.__edge_len(pos, anc, v)
+                if climbed < best_claim[anc]:
+                    break  # a farther leaf owns everything from here up
+                v = anc
+                best_claim[v] = climbed
+                owner[v] = leaf
         self._leaves = leaves
-        self._branch_label = branch_label
+        self._branch_label = owner
 
-    def __compute_branches_and_barcode(self):
-        """Branch decomposition + barcode (topology.py:224-271)."""
+    def __decompose_into_branches(self):
+        """Split the forest into leaf-owned branches and build the barcode
+        (behavior of topology.py:224-271; re-derived, see PROVENANCE).
+
+        A leaf's branch is the maximal run of edges it owns on its root path.
+        Its bar is born at -dist_to_root(leaf) and dies one branch length
+        later (where a longer branch takes over).
+        """
+        up = self._parent
+        pos = self._vertices
+        owner = self._branch_label
         branches = []
-        barcode = []
-        verts = self._vertices
+        bars = []
         for leaf in self._leaves:
-            current_vertex = leaf
-            current_label = leaf
-            current_parent = self._parent[leaf]
-            current_distance = 0
-            current_branch = []
-            while current_label == leaf and current_vertex != current_parent:
-                current_distance += self.__edge_len(
-                    verts, current_parent, current_vertex
-                )
-                current_branch.append((current_vertex, current_parent))
-                current_vertex = current_parent
-                current_parent = self._parent[current_vertex]
-                current_label = self._branch_label[current_vertex]
-            branches.append(np.array(current_branch))
+            edges = []
+            span = 0.0
+            v = leaf
+            while owner[v] == leaf:
+                anc = up[v]
+                if anc == v:
+                    break
+                span += self.__edge_len(pos, anc, v)
+                edges.append((v, anc))
+                v = anc
+            branches.append(np.array(edges))
             birth = -self._dist_to_root[leaf]
-            death = birth + current_distance
-            barcode.append((birth, death))
+            bars.append((birth, birth + span))
         self._branches = branches
-        self.barcode = barcode
+        self.barcode = bars
 
-    def __smooth_graph(self, G, vertices, window_size):
-        """Sliding-window smoothing, leaves/junctions fixed
-        (topology.py:273-316)."""
-        if window_size <= 1:
-            return vertices
-        vertices = vertices.copy()
-        fixed_verts = {v for v in G.nodes if G.degree[v] != 2}
-        visited = set()
-        for fixed_vert_start in fixed_verts:
-            for segment_base_vert in G.neighbors(fixed_vert_start):
-                branch_vert = segment_base_vert
-                if branch_vert in visited:
+    def __relax_chains(self, G, pos, window):
+        """Moving-average the positions along every degree-2 chain, keeping
+        leaves and junctions anchored (behavior of topology.py:273-316;
+        re-derived, see PROVENANCE).
+
+        Chains are walked from each anchor (degree != 2 vertex) outward; a
+        chain is skipped when its first vertex was already covered from the
+        other end. The walk steps to the first adjacency-listed neighbor
+        that isn't the current vertex (which can double back — the goldens
+        pin that quirk), and bails if it revisits a chain vertex (cycles).
+        """
+        if window <= 1:
+            return pos
+        pos = pos.copy()
+        anchors = {v for v in G.nodes if G.degree[v] != 2}
+        covered = set()
+        for anchor in anchors:
+            for first in G.neighbors(anchor):
+                if first in covered:
                     continue
-                segment_vertices = [fixed_vert_start, branch_vert]
-                branch_verts_visited = set()
-                while G.degree[branch_vert] == 2:
-                    neighbors = list(G.neighbors(branch_vert))
-                    next_vert = (
-                        neighbors[0] if neighbors[0] != branch_vert else neighbors[1]
-                    )
-                    if next_vert in branch_verts_visited:
+                chain = [anchor, first]
+                stepped = set()
+                tip = first
+                while G.degree[tip] == 2:
+                    adj = list(G.neighbors(tip))
+                    step = adj[1] if adj[0] == tip else adj[0]
+                    if step in stepped:
                         break
-                    branch_vert = next_vert
-                    branch_verts_visited.add(branch_vert)
-                    segment_vertices.append(branch_vert)
-                segment_pos = vertices[segment_vertices]
-                smoothed = self.__moving_average_fixed_ends(segment_pos, window_size)
-                vertices[segment_vertices] = smoothed
-                visited.update([segment_vertices[0], segment_vertices[-1]])
-        return vertices
+                    stepped.add(step)
+                    chain.append(step)
+                    tip = step
+                pos[chain] = self.__moving_average_fixed_ends(pos[chain], window)
+                covered.add(chain[0])
+                covered.add(chain[-1])
+        return pos
 
-    def __filter_graph(self):
-        """Drop branches shorter than min_branch_length (topology.py:318-347)."""
-        filtered_branches = []
-        filtered_barcode = []
-        edges_to_remove = []
-        for branch, bar in zip(self._branches, self.barcode):
-            birth, death = bar
-            if death - birth >= self.min_branch_length:
-                filtered_branches.append(branch)
-                filtered_barcode.append(bar)
-            else:
-                edges_to_remove.extend(branch)
-        self._branches = filtered_branches
-        self.barcode = filtered_barcode
-        self._G.remove_edges_from(edges_to_remove)
+    def __drop_short_branches(self):
+        """Discard branches whose bar is shorter than min_branch_length
+        (behavior of topology.py:318-347; re-derived, see PROVENANCE)."""
+        keep = [death - birth >= self.min_branch_length
+                for birth, death in self.barcode]
+        doomed_edges = [edge
+                        for branch, kept in zip(self._branches, keep) if not kept
+                        for edge in branch]
+        self._branches = [b for b, kept in zip(self._branches, keep) if kept]
+        self.barcode = [bar for bar, kept in zip(self.barcode, keep) if kept]
+        self._G.remove_edges_from(doomed_edges)
         self._G.remove_nodes_from(self._G.isolates())
 
     def __barcode_interval_lengths(self):
@@ -272,23 +295,25 @@ class MorseGraph:
         return lengths[~np.isinf(lengths)]
 
     def __compute_colored_tree_and_barcode(self, scaling_factor=1.0):
-        """Per-branch colors for tree + barcode plots (topology.py:358-389)."""
-        edges_and_colors = []
-        barcode_and_colors = []
+        """Per-branch display geometry: a golden-ratio color per branch, the
+        scaled bar, and the branch polyline (lightly smoothed, window 3) as
+        (x, y) line segments (behavior of topology.py:358-389)."""
+        segments = []
+        bars = []
         for i, (branch, bar) in enumerate(zip(self._branches, self.barcode)):
             color = self.__random_color(i)
-            bar = (bar[0] * scaling_factor, bar[1] * scaling_factor)
-            barcode_and_colors.append((bar, color))
-            branch_vertices = [b[0] for b in branch] + [branch[-1][1]]
-            branch_pos = self._vertices[branch_vertices] * scaling_factor
-            branch_pos = self.__moving_average_fixed_ends(branch_pos, 3)
-            for j in range(len(branch_pos) - 1):
-                v1 = branch_pos[j]
-                v2 = branch_pos[j + 1]
-                # mpl uses (x, y) image coordinates -> reverse
-                edges_and_colors.append(([v1[::-1], v2[::-1]], color))
-        self._edges_and_colors = edges_and_colors
-        self._barcode_and_colors = barcode_and_colors
+            bars.append(((bar[0] * scaling_factor, bar[1] * scaling_factor), color))
+            path = [edge[0] for edge in branch]
+            path.append(branch[-1][1])
+            pts = self.__moving_average_fixed_ends(
+                self._vertices[path] * scaling_factor, 3
+            )
+            # vertices are (row, col); matplotlib wants (x, y) -> flip
+            xy = pts[:, ::-1]
+            for a, b in zip(xy[:-1], xy[1:]):
+                segments.append(([a, b], color))
+        self._edges_and_colors = segments
+        self._barcode_and_colors = bars
 
     # -------------------------------------------------------------- utilities
 
@@ -302,54 +327,51 @@ class MorseGraph:
         return G, V.astype(np.float32)
 
     @staticmethod
-    def __prep_moving_avg_fixed_endpoints(A, n):
-        """Endpoint-repeat transform (topology.py:420-448)."""
+    def __repeat_endpoints(A, n):
+        """Pad a polyline for endpoint-anchored box filtering: vertex k from
+        either end is duplicated (n - k) times, so the width-n window average
+        at each end reproduces the endpoint exactly (behavior of
+        topology.py:420-448, vectorized)."""
         assert n >= 2
         assert min(n, math.ceil(len(A) / 2)) == n
-        A_transformed = A[n - 1 : -(n - 1)]
-        for i in reversed(range(n - 1)):
-            idx1, idx2 = i, -i - 1
-            repeat = n - i
-            A_transformed = np.concatenate(
-                ([A[idx1]] * repeat, A_transformed, [A[idx2]] * repeat)
-            )
-        return A_transformed
-
-    @staticmethod
-    def __moving_average(A, n=3):
-        ret = np.cumsum(A, axis=0, dtype=float)
-        ret[n:] = ret[n:] - ret[:-n]
-        return ret[n - 1 :] / n
+        reps = np.ones(len(A), dtype=np.intp)
+        ramp = np.arange(n, 1, -1)
+        reps[: n - 1] = ramp
+        reps[len(A) - n + 1 :] = ramp[::-1]
+        return np.repeat(A, reps, axis=0)
 
     @staticmethod
     def __moving_average_fixed_ends(A, n):
-        """Moving average fixed at original endpoints (topology.py:457-476)."""
+        """Width-n box filter over a polyline's positions with both endpoints
+        held fixed, resampled back to the original vertex count (behavior of
+        topology.py:457-476; re-derived, see PROVENANCE)."""
         n = min(n, math.ceil(len(A) / 2))
         assert n != 0
         if n == 1:
             return A
-        A_transformed = MorseGraph.__prep_moving_avg_fixed_endpoints(A, n)
-        moving_avg = MorseGraph.__moving_average(A_transformed, n)
-        return MorseGraph.__interp_n_verts_uniform_spacing(moving_avg, len(A))
+        padded = MorseGraph.__repeat_endpoints(A, n)
+        # running-sum box filter (cumsum difference), float64 accumulation
+        csum = np.cumsum(padded, axis=0, dtype=float)
+        csum[n:] = csum[n:] - csum[:-n]
+        smoothed = csum[n - 1 :] / n
+        return MorseGraph.__resample_uniform(smoothed, len(A))
 
     @staticmethod
-    def __interp_n_verts_uniform_spacing(verts, n):
-        """Uniform-arclength resample of a polyline (topology.py:479-515)."""
+    def __resample_uniform(verts, n):
+        """Resample a polyline to n vertices at uniform arclength spacing,
+        keeping the exact endpoints (behavior of topology.py:479-515,
+        vectorized over the interior points)."""
         assert len(verts) >= 2
         assert n >= 2
-        dists = np.linalg.norm(verts[1:] - verts[:-1], axis=1)
-        total_dist = np.sum(dists)
-        accum = np.cumsum(np.concatenate(([0], dists)))
-        interp_step = total_dist / (n - 1)
-        interp_verts = [verts[0]]
-        for i in range(1, n - 1):
-            interp_dist = i * interp_step
-            idx = np.searchsorted(accum, interp_dist, side="right") - 1
-            denom = accum[idx + 1] - accum[idx]
-            prop = 0.0 if denom == 0 else (interp_dist - accum[idx]) / denom
-            interp_verts.append(verts[idx] + (verts[idx + 1] - verts[idx]) * prop)
-        interp_verts.append(verts[-1])
-        return np.array(interp_verts)
+        gaps = np.linalg.norm(verts[1:] - verts[:-1], axis=1)
+        arc = np.cumsum(np.concatenate(([0], gaps)))
+        targets = np.arange(1, n - 1) * (np.sum(gaps) / (n - 1))
+        cell = np.searchsorted(arc, targets, side="right") - 1
+        width = arc[cell + 1] - arc[cell]
+        frac = np.zeros_like(targets)
+        np.divide(targets - arc[cell], width, out=frac, where=width != 0)
+        interior = verts[cell] + (verts[cell + 1] - verts[cell]) * frac[:, None]
+        return np.concatenate(([verts[0]], interior, [verts[-1]]))
 
     @staticmethod
     def __random_color(i: int):
@@ -424,7 +446,7 @@ class MorseGraph:
         return math.sqrt(dx * dx + dy * dy)
 
     @staticmethod
-    def __trim_graph(
+    def __prune_segments(
         G,
         vertices,
         shape,
@@ -433,88 +455,95 @@ class MorseGraph:
         pruning_mask=None,
         remove_isolated_branches=False,
     ):
-        """Two-pass iterated segment pruning (topology.py:588-706)."""
-        G = G.copy()
+        """Iterated two-phase segment pruning (behavior of
+        topology.py:588-706; re-derived, see PROVENANCE).
+
+        Phase 1 seeds walks at leaves, phase 2 at junctions; each walk peels
+        a maximal junction-free segment. Segments are condemned when leaf-
+        ended and out of [min, max] length bounds, when isolated (both ends
+        leaves, no junction inside, if enabled), or when their median point
+        lands in the pruning mask. Phases alternate until a phase-2 sweep
+        removes nothing. All the seed/frontier sets are built from the same
+        iteration sources as the goldens — their CPython pop() order decides
+        which of two overlapping walks claims shared vertices, so set
+        construction order is load-bearing here.
+        """
+        work = G.copy()
         if pruning_mask is None:
             pruning_mask = np.zeros(shape, dtype=bool)
         elif pruning_mask.dtype != bool:
             pruning_mask = pruning_mask > 0
 
-        def get_segment_length(segment):
-            seg = vertices[segment]
-            bbox_min = seg.min(axis=0)
-            bbox_max = seg.max(axis=0)
-            return np.sqrt(np.sum((bbox_max - bbox_min) ** 2))
+        def diag_extent(seg):
+            pts = vertices[seg]
+            span = pts.max(axis=0) - pts.min(axis=0)
+            return np.sqrt(np.sum(span**2))
 
-        pass_num = 1
-        pruning_complete = False
-        while not pruning_complete:
-            junctions = {n for n in G.nodes if G.degree[n] > 2}
-            base_nodes = (
-                {n for n in G.nodes if G.degree[n] == 1}
-                if pass_num == 1
-                else junctions
+        phase = 1
+        while True:
+            hubs = {v for v in work.nodes if work.degree[v] > 2}
+            seeds = (
+                {v for v in work.nodes if work.degree[v] == 1}
+                if phase == 1
+                else hubs
             )
-            unmarked_nodes = {n for n in G.nodes if n not in junctions}
-            segments = []
-            short_segments = []
-            long_segments = []
-            isolated_segments = []
+            walkable = {v for v in work.nodes if v not in hubs}
+            kept = []
+            too_short = []
+            too_long = []
+            lone = []
 
-            while base_nodes:
-                starting_node = base_nodes.pop()
-                neighbors = {
-                    n for n in G.neighbors(starting_node) if n in unmarked_nodes
-                }
-                while neighbors:
-                    node = neighbors.pop()
-                    segment = [starting_node, node] if pass_num == 1 else [node]
+            while seeds:
+                seed = seeds.pop()
+                frontier = {v for v in work.neighbors(seed) if v in walkable}
+                while frontier:
+                    tip = frontier.pop()
+                    seg = [seed, tip] if phase == 1 else [tip]
                     while True:
-                        nbr = [n for n in G.neighbors(node) if n in unmarked_nodes]
-                        if not nbr:
+                        onward = [v for v in work.neighbors(tip) if v in walkable]
+                        if not onward:
                             break
-                        node = nbr[0]
-                        segment.append(node)
-                        unmarked_nodes.remove(node)
-                    n_leaf = (G.degree[segment[0]] == 1) + (G.degree[segment[-1]] == 1)
+                        tip = onward[0]
+                        seg.append(tip)
+                        walkable.remove(tip)
+                    leaf_ends = (work.degree[seg[0]] == 1) + (
+                        work.degree[seg[-1]] == 1
+                    )
                     if (
                         remove_isolated_branches
-                        and n_leaf == 2
-                        and not any(G.degree[v] > 2 for v in segment)
+                        and leaf_ends == 2
+                        and all(work.degree[v] <= 2 for v in seg)
                     ):
-                        isolated_segments.append(segment)
-                    elif n_leaf > 0:
-                        seg_len = get_segment_length(segment)
-                        if seg_len < min_branch_length:
-                            short_segments.append(segment)
-                        elif max_branch_length and seg_len > max_branch_length:
-                            long_segments.append(segment)
+                        lone.append(seg)
+                    elif leaf_ends:
+                        extent = diag_extent(seg)
+                        if extent < min_branch_length:
+                            too_short.append(seg)
+                        elif max_branch_length and extent > max_branch_length:
+                            too_long.append(seg)
                         else:
-                            segments.append(segment)
+                            kept.append(seg)
                     else:
-                        segments.append(segment)
+                        kept.append(seg)
 
-            if segments:
-                segment_pos = [
+            if kept:
+                medians = [
                     np.round(np.median(vertices[s], axis=0)).astype(int)
-                    for s in segments
+                    for s in kept
                 ]
-                remove_idx = np.argwhere(
-                    pruning_mask[tuple(zip(*segment_pos))]
+                in_mask = np.argwhere(
+                    pruning_mask[tuple(zip(*medians))]
                 ).flatten()
-                segments_to_remove = [segments[i] for i in remove_idx]
+                condemned = [kept[i] for i in in_mask]
             else:
-                segments_to_remove = []
-            segments_to_remove.extend(short_segments)
-            segments_to_remove.extend(long_segments)
-            segments_to_remove.extend(isolated_segments)
+                condemned = []
+            condemned += too_short + too_long + lone
 
-            for segment in segments_to_remove:
-                G.remove_edges_from(set(G.edges(segment)))
-                G.remove_nodes_from(segment)
-            G.remove_nodes_from(G.isolates())
+            for seg in condemned:
+                work.remove_edges_from(set(work.edges(seg)))
+                work.remove_nodes_from(seg)
+            work.remove_nodes_from(work.isolates())
 
-            pruning_complete = pass_num == 2 and not segments_to_remove
-            pass_num = 2 if pass_num == 1 else 1
-
-        return G
+            if phase == 2 and not condemned:
+                return work
+            phase = 3 - phase
