@@ -42,9 +42,13 @@ def main(argv=None):
     # chips like all device work and must not be projected as host tail.
     # post_d2h collapsed from 378 to ~4 ms/well once the copies were
     # enqueued asynchronously behind their producing program (round 4).
+    # post_pack is the packbits of the filtered masks — host CPU work that
+    # was previously lumped into post_stage2 (advisor r4: the tail slightly
+    # understated host work that will NOT shrink with more chips)
     host_tail = sum(
         per_well.get(k, 0.0)
-        for k in ("post_d2h", "post_unpack", "post_filter", "morse_graphs")
+        for k in ("post_d2h", "post_unpack", "post_filter", "post_pack",
+                  "morse_graphs")
     )
     # per-well device cost at 1 chip = the pipeline wall (the measured
     # run is device-bound: host work overlaps under it)

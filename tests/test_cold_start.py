@@ -139,10 +139,20 @@ def test_second_process_runs_with_zero_aot_misses(tmp_path):
         JAX_LOG_COMPILES="1",
     )
 
-    stats1, _ = _run(in_dir, tmp_path / "out1", in3d_dir, tmp_path / "o3d1", env)
+    stats1, n_compiles1 = _run(
+        in_dir, tmp_path / "out1", in3d_dir, tmp_path / "o3d1", env
+    )
     # the 2-D tiled pipeline + the three 3-D Sato-path programs at minimum
     assert stats1["misses"] >= 4, stats1
     assert stats1["hits"] == 0, stats1
+    # census liveness: the cold run MUST log at least one "Compiling " line
+    # per AOT miss — if a JAX upgrade changes the JAX_LOG_COMPILES wording,
+    # this fails loudly instead of silently disabling the n_compiles2 guard
+    # below (which can otherwise only ever fail in the too-many direction)
+    assert n_compiles1 >= stats1["misses"], (
+        f"compile census looks dead: {n_compiles1} 'Compiling ' lines for "
+        f"{stats1['misses']} AOT misses — JAX_LOG_COMPILES format changed?"
+    )
 
     stats2, n_compiles2 = _run(
         in_dir, tmp_path / "out2", in3d_dir, tmp_path / "o3d2", env

@@ -96,3 +96,28 @@ def test_env_override_auto_configure_not_persisted(isolated, monkeypatch):
     target = isolated / "chosen_base"
     cfg_mod.configure(str(target))
     assert _recorded(isolated).endswith("chosen_base")
+
+
+def test_env_override_never_relocates_recorded_base(isolated, monkeypatch):
+    """Auto-configure under TMAT_TPU_BASE_DIR pointing at a NOT-yet-existing
+    path, with a pre-existing package.cfg, must not fire the create-or-move
+    branch: relocating the recorded base dir (user models/configs/outputs)
+    into an ephemeral session dir — while deliberately not updating
+    package.cfg — would strand the artifacts in a prunable temp dir with the
+    recorded pointer dangling (round-4 advisor, medium)."""
+    recorded = cfg_mod.configure(str(isolated / "real_base"))
+    marker = recorded / "model_training" / "user_artifact.txt"
+    marker.write_text("keep me")
+
+    env_dir = isolated / "ephemeral" / "session_base"
+    env_dir.parent.mkdir()
+    monkeypatch.setenv("TMAT_TPU_BASE_DIR", str(env_dir))
+    monkeypatch.setattr(defs, "BASE_DIR", env_dir)
+
+    out = cfg_mod.configure()  # cli.py auto-configure shape
+    assert out == env_dir
+    assert (env_dir / "config").is_dir(), "override dir must be materialised"
+    # the recorded base dir stays put, artifacts intact, pointer valid
+    assert recorded.is_dir()
+    assert marker.read_text() == "keep me"
+    assert _recorded(isolated).endswith("real_base")

@@ -87,7 +87,13 @@ def configure(target_base_dir: str = "") -> Path:
     base_dir = (
         Path(target_base_dir).expanduser() if target_base_dir else defs.BASE_DIR
     )
-    prev_base_dir = _recorded_base_dir()
+    # A session-scoped env override must be decided BEFORE the create-or-move
+    # branch: it must never relocate the previously recorded base dir (user
+    # models/configs/outputs) into an ephemeral temp path — especially since
+    # the override path also skips recording, which would leave package.cfg
+    # pointing at the renamed-away location.
+    session_override = not explicit and bool(os.environ.get("TMAT_TPU_BASE_DIR"))
+    prev_base_dir = None if session_override else _recorded_base_dir()
 
     if not base_dir.parent.is_dir():
         print(
@@ -131,8 +137,7 @@ def configure(target_base_dir: str = "") -> Path:
     (base_dir / "model_training").mkdir(exist_ok=True)
     (base_dir / "output").mkdir(exist_ok=True)
 
-    env_base = os.environ.get("TMAT_TPU_BASE_DIR")
-    if not explicit and env_base:
+    if session_override:
         # session-scoped env override (docstring above): dirs exist now,
         # but nothing is recorded in the package tree
         print(

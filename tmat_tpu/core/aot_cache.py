@@ -153,7 +153,7 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
     if compiled is not None:
         return compiled(*args)
 
-    compiled, from_disk = _load_or_compile(jitted, args, key, label)
+    compiled, from_disk, load_elapsed = _load_or_compile(jitted, args, key, label)
     if compiled is None:  # serialization unsupported for this program
         return jitted(*args)
     if from_disk:
@@ -173,11 +173,13 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
         except Exception:
             stats["errors"] += 1
             stats["hits"] -= 1  # the load did not actually serve
+            stats["load_s"] -= load_elapsed  # ...so its load time doesn't count
             try:
                 (cache_dir() / f"{key}.jaxexec").unlink()
             except OSError:
                 pass
-            compiled, _ = _load_or_compile(jitted, args, key, label)
+            # the entry file is gone, so this recompiles (timed in compile_s)
+            compiled, _, _ = _load_or_compile(jitted, args, key, label)
             if compiled is None:
                 return jitted(*args)
             with _LOCK:
@@ -192,7 +194,11 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
 
 
 def _load_or_compile(jitted, args, key: str, label: str):
-    """Returns (compiled_or_None, from_disk)."""
+    """Returns (compiled_or_None, from_disk, load_elapsed_s).
+
+    ``load_elapsed_s`` is this call's contribution to ``stats['load_s']``
+    (0.0 on the compile path) so a caller that later invalidates the loaded
+    entry can back it out of the wall-time attribution."""
     from jax.experimental import serialize_executable as se
 
     path = cache_dir() / f"{key}.jaxexec"
@@ -214,8 +220,9 @@ def _load_or_compile(jitted, args, key: str, label: str):
                 execution_devices=[by_id[i] for i in device_ids],
             )
             stats["hits"] += 1
-            stats["load_s"] += time.perf_counter() - t0
-            return compiled, True
+            load_elapsed = time.perf_counter() - t0
+            stats["load_s"] += load_elapsed
+            return compiled, True, load_elapsed
         except Exception:
             # corrupt/incompatible entry: recompile and overwrite below
             stats["errors"] += 1
@@ -230,7 +237,7 @@ def _load_or_compile(jitted, args, key: str, label: str):
         stats["compile_s"] += time.perf_counter() - t0
     except AttributeError:
         stats["errors"] += 1
-        return None, False  # not a jit-wrapped callable
+        return None, False, 0.0  # not a jit-wrapped callable
     stats["misses"] += 1
     try:
         serialized, in_tree, out_tree = se.serialize(compiled)
@@ -248,7 +255,7 @@ def _load_or_compile(jitted, args, key: str, label: str):
         # e.g. NotImplementedError("serialize_executables with const_args")
         # or a read-only cache dir: still serve the compiled program
         stats["errors"] += 1
-    return compiled, False
+    return compiled, False, 0.0
 
 
 def prune(max_bytes: int = 2 << 30) -> int:

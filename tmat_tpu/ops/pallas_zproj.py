@@ -122,7 +122,7 @@ def proj_focus_stacking_pallas(
     out = pl.pallas_call(
         _focus_kernel,
         grid=(grid_h, grid_w),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (tile_h, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),

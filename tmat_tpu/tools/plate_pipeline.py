@@ -132,10 +132,16 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
                     for j in range(f_np.shape[0])
                 ]
             )
-        with timer.stage("post_stage2"):
-            # H2D the filtered masks bit-packed (the last full-raster
-            # transfer in the loop); stage2 unpacks on device
+        with timer.stage("post_pack"):
+            # genuine host CPU work (packbits of the filtered masks) —
+            # split out of post_stage2 so the host-tail attribution in
+            # benchmarks/postprocess_profile.py counts it (it does NOT
+            # shrink with more chips, unlike the stage2 queue wait)
             masks_pk = np.packbits(masks, axis=-1)
+        with timer.stage("post_stage2"):
+            # H2D the packed masks (the last full-raster transfer in the
+            # loop); stage2 unpacks on device. What remains here is H2D +
+            # device-queue wait, which scales with chips.
             p384 = np.asarray(
                 plate_stage2(mesh, p, jnp.asarray(masks_pk), s, dsamp)
             )
