@@ -362,3 +362,67 @@ def test_probe_plate_geometry(tmp_path, rng):
         {"w2": sorted(str(p) for p in d2.glob("*.tif"))}
     )
     assert geo is not None and geo[3] == np.uint16
+
+
+def test_host_tails_overlap_across_chunks(monkeypatch):
+    """Structural pin for the multi-chip projection (VERDICT r4 #7).
+
+    BASELINE.md's ~69 wells/sec 8-chip projection assumes per-chunk host
+    tails (component filter, Morse stats) run CONCURRENTLY across pool
+    threads (48 ms/well of host work amortizes to ~6 ms/well over 8
+    threads). This asserts the scheduler actually PERMITS that overlap,
+    counter/barrier-based rather than wall-clock: a Barrier(4) inside the
+    component-filter stage releases only if >= 4 chunks' host tails are
+    in flight simultaneously. A regression that serializes host tails
+    (a global postprocess lock, or dispatching chunk i+1 only after chunk
+    i's result) breaks the barrier instead.
+    """
+    import threading
+
+    import jax
+    from jax.sharding import Mesh
+
+    from tmat_tpu.parallel.validation import identity_segmentor, make_demo_plate
+
+    n_wells, parties = 8, 4
+    barrier = threading.Barrier(parties)
+    outcome = {"met": 0, "broken": 0}
+    entries = {"n": 0}
+    lock = threading.Lock()
+    real_filter = plate_pipeline.filter_branch_seg_mask
+
+    def gated_filter(*args, **kwargs):
+        with lock:
+            entries["n"] += 1
+            gate = entries["n"] <= parties
+        if gate:
+            try:
+                barrier.wait(timeout=120)
+                with lock:
+                    outcome["met"] += 1
+            except threading.BrokenBarrierError:
+                with lock:
+                    outcome["broken"] += 1
+        return real_filter(*args, **kwargs)
+
+    monkeypatch.setattr(plate_pipeline, "filter_branch_seg_mask", gated_filter)
+
+    # 1-device mesh -> one well per chunk -> 8 concurrent chunk tasks
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    plate, ids = make_demo_plate(n_wells)
+    res = plate_pipeline.run_plate(
+        plate,
+        ids,
+        identity_segmentor(),
+        {"image_width_microns": 800.0},
+        mesh=mesh,
+        sd_coef=-1.0,
+    )
+    res.pop("_timer")
+    assert outcome["broken"] == 0 and outcome["met"] == parties, (
+        f"host tails did not overlap {parties}-way: {outcome} "
+        "(the plate scheduler serialized chunk postprocess work)"
+    )
+    # the run itself stays correct under the gating
+    assert res["well_id"] == ids
+    assert all(b > 0 for b in res["total_branches"]), res["total_branches"]

@@ -114,6 +114,10 @@ def _env_key_parts() -> tuple:
         jax.default_backend(),
         devs[0].device_kind,
         tuple(d.id for d in devs),
+        # multi-controller executables bake cross-process collectives in;
+        # a 2-process x 4-device mesh shares device ids 0-7 with a
+        # single-process 8-device mesh and must never serve its entries
+        (jax.process_count(), jax.process_index()),
         # XLA:CPU AOT results encode host machine features; a cache dir
         # shared across heterogeneous hosts must not serve them cross-host
         platform.machine(),

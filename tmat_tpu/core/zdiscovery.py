@@ -92,9 +92,16 @@ def find_zstack_image_sequences(input_dir: str) -> Dict[str, List[str]]:
     order. Mixed numbering widths or duplicate number tuples inside one
     stack are naming-convention errors.
     """
-    paths = [p for p in glob(osp.join(input_dir, "*")) if osp.isfile(p)]
+    # sorted: glob returns filesystem enumeration order, which differs
+    # even between two processes scanning the same directory — discovery
+    # must be deterministic (multi-controller plate runs require every
+    # process to build the identical well sequence; reproducible CSV row
+    # order falls out for free). Documented parity-plus in PARITY.md.
+    paths = sorted(p for p in glob(osp.join(input_dir, "*")) if osp.isfile(p))
     if not paths:
-        paths = [p for p in glob(osp.join(input_dir, "*", "*")) if osp.isfile(p)]
+        paths = sorted(
+            p for p in glob(osp.join(input_dir, "*", "*")) if osp.isfile(p)
+        )
 
     stack_of = []  # per-slice stack id, parallel to paths
     slice_keys = []  # per-slice reversed z-number list, parallel to paths
@@ -105,12 +112,15 @@ def find_zstack_image_sequences(input_dir: str) -> Dict[str, List[str]]:
         stack_of.append(osp.splitext(sid)[0])
         slice_keys.append([int(v) for v in _ZNUM_VALUE.findall(leaf)][::-1])
 
-    distinct = list(set(stack_of))
+    # dict.fromkeys, not set(): set iteration order varies with per-process
+    # hash randomization, and clean_zstack_ids / the output dict order must
+    # be identical in every process of a multi-controller run
+    distinct = list(dict.fromkeys(stack_of))
     renamed = dict(zip(distinct, clean_zstack_ids(distinct)))
     stack_of = [renamed[s] for s in stack_of]
 
     stacks: Dict[str, List[str]] = {}
-    for sid in set(stack_of):
+    for sid in dict.fromkeys(stack_of):
         members = [i for i, s in enumerate(stack_of) if s == sid]
         keys = [slice_keys[i] for i in members]
         if any(len(k) != len(keys[0]) for k in keys):
@@ -128,5 +138,5 @@ def find_zstack_image_sequences(input_dir: str) -> Dict[str, List[str]]:
 def find_zstack_files(input_dir: str) -> Dict[str, str]:
     """Map stack IDs (filename stems) to single-file Z stacks
     (behavior of zstacks.py:119-131)."""
-    paths = [p for p in glob(osp.join(input_dir, "*")) if osp.isfile(p)]
+    paths = sorted(p for p in glob(osp.join(input_dir, "*")) if osp.isfile(p))
     return {osp.splitext(osp.basename(p))[0]: p for p in paths}

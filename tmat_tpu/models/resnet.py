@@ -20,6 +20,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BN_EPS = 1.001e-5
 
@@ -182,8 +183,18 @@ def build_resnet50_tl(
 
 
 def stack_ensemble_variables(variable_list: Sequence[Any]) -> Any:
-    """Stack k parameter pytrees along a new leading member axis."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *variable_list)
+    """Stack k parameter pytrees along a new leading member axis.
+
+    Stacks on HOST: checkpoint leaves arrive as host arrays, and an eager
+    ``jnp.stack`` compiles one broadcast+concat XLA program per distinct
+    leaf shape (~46 programs for a 2-member ResNet50) in every fresh
+    process — cold-start glue the zero-compile census forbids
+    (tests/test_cli_real_process_tools.py). The stacked tree crosses H2D
+    once, inside the first fused-forward dispatch.
+    """
+    return jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *variable_list
+    )
 
 
 def make_ensemble_apply(model: ResNet50TL):

@@ -6,6 +6,14 @@ image height is an optional spatial axis, and pipelines run as sharded
 jits with XLA inserting any needed collectives.
 """
 
+from tmat_tpu.parallel.distributed import (
+    fetch,
+    initialize,
+    is_multiprocess,
+    is_primary,
+    maybe_initialize_from_env,
+    put_global,
+)
 from tmat_tpu.parallel.mesh import make_mesh, shard_leading, replicated
 from tmat_tpu.parallel.plate import (
     plate_zproj,

@@ -18,6 +18,12 @@ def make_mesh(
 
     Defaults to a 1-D data-parallel mesh over all devices. ``axis_shape``
     lets callers carve (dp, sp/tp) submeshes, e.g. (4, 2) on 8 chips.
+
+    Process-aware: after ``parallel.distributed.initialize`` (multi-host
+    pods / multi-process CPU), ``jax.devices()`` enumerates EVERY
+    process's devices, so the default mesh spans the whole job —
+    collectives ride ICI within a host's slice and DCN (or gloo on CPU)
+    across processes. Single-process runs are unchanged.
     """
     devices = list(jax.devices()) if devices is None else list(devices)
     if axis_shape is None:

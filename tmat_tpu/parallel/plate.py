@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tmat_tpu.ops.rescale import rescale_intensity
+from tmat_tpu.parallel.distributed import put_global
 from tmat_tpu.ops.threshold import exec_threshold
 from tmat_tpu.ops.tiled import PredFuncJitCache, _tiled_core
 from tmat_tpu.ops.zproj import _focus_stack_zhw
@@ -100,7 +101,7 @@ def plate_zproj(mesh: Mesh, stacks: jax.Array, method: str = "max") -> jax.Array
         )
 
     fn = _cached(("zproj", mesh, method), build)
-    return fn(jax.device_put(stacks, sharding))
+    return fn(put_global(stacks, sharding))
 
 
 def plate_zproj_masked(
@@ -122,8 +123,8 @@ def plate_zproj_masked(
 
     fn = _cached(("zproj_masked", mesh, method, stacks.shape, stacks.dtype.name), build)
     return fn(
-        jax.device_put(stacks, sharding),
-        jax.device_put(jnp.asarray(z_counts, jnp.int32), sharding),
+        put_global(stacks, sharding),
+        put_global(np.asarray(z_counts, np.int32), sharding),
     )
 
 
@@ -150,8 +151,8 @@ def plate_threshold(
         masks = jnp.ones_like(imgs)
     fn = _cached(("threshold", mesh), build)
     return fn(
-        jax.device_put(imgs, sharding),
-        jax.device_put(masks, sharding),
+        put_global(imgs, sharding),
+        put_global(masks, sharding),
         np.float32(sd_coef),
     )
 
@@ -182,7 +183,7 @@ def plate_segment(
 
     key = ("segment", mesh, imgs.shape, window_size, subdivisions, tta)
     fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
-    return fn(jax.device_put(imgs, sharding))
+    return fn(put_global(imgs, sharding))
 
 
 def plate_stage1(
@@ -292,10 +293,10 @@ def plate_stage1(
     if z_counts is None:
         z_counts = jnp.full((stacks.shape[0],), stacks.shape[1], jnp.int32)
     args = (
-        jax.device_put(stacks, sharding),
-        jax.device_put(wm_small, sharding),
+        put_global(stacks, sharding),
+        put_global(wm_small, sharding),
         np.float32(sd_coef),
-        jax.device_put(jnp.asarray(z_counts, jnp.int32), sharding),
+        put_global(np.asarray(z_counts, np.int32), sharding),
     )
     if aot_key is not None:
         # cross-process executable cache: this program bakes the
@@ -359,9 +360,9 @@ def plate_stage2(
 
     fn = _cached(("stage2", mesh, preds.shape, dsamp, packed, masks_packed), build)
     args = (
-        jax.device_put(preds, sharding),
-        jax.device_put(masks, sharding),
-        jax.device_put(skels_pre, sharding),
+        put_global(preds, sharding),
+        put_global(masks, sharding),
+        put_global(skels_pre, sharding),
     )
     # no closed-over weights: safe to AOT-cache on geometry alone
     from tmat_tpu.core.aot_cache import aot_call

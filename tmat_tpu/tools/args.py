@@ -72,7 +72,7 @@ def resolve_image_paths(input_path: str) -> Dict[str, Union[str, List[str]]]:
     Shared resolution logic of cell_area_verify_input_dir
     (script_util.py:506-552) and the branches/zproj/inv-depth scripts.
     """
-    test_path = glob(osp.join(input_path, "*"))[0]
+    test_path = sorted(glob(osp.join(input_path, "*")))[0]
     if os.path.isdir(test_path) or tio.get_image_dims(test_path).Z == 1:
         try:
             img_paths: Dict[str, Union[str, List[str]]] = (
@@ -91,9 +91,11 @@ def resolve_image_paths(input_path: str) -> Dict[str, Union[str, List[str]]]:
             sys.exit(1)
 
     if len(img_paths) == 0:
+        # sorted: deterministic discovery order across processes/runs
+        # (see core/zdiscovery.py find_zstack_image_sequences)
         img_paths = {
             Path(fp).stem: fp
-            for fp in glob(osp.join(input_path, "*"))
+            for fp in sorted(glob(osp.join(input_path, "*")))
             if tio.get_image_dims(fp).Z == 1
         }
     return img_paths

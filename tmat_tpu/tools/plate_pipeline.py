@@ -39,6 +39,7 @@ from tmat_tpu.core.log import SFM, section_footer, section_header
 from tmat_tpu.core.profiling import StageTimer
 from tmat_tpu.models.unet import get_unet_patch_segmentor_from_cfg
 from tmat_tpu.ops.resize import resize
+from tmat_tpu.parallel.distributed import fetch, is_multiprocess, is_primary
 from tmat_tpu.parallel.mesh import make_mesh
 from tmat_tpu.parallel.plate import plate_zproj_masked
 from tmat_tpu.topo.morse import MorseGraph
@@ -99,8 +100,10 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
         # block on the chunk's stage1 program under its own stage: the
         # first fetch waits for the whole device program, and charging
         # that wait to "postprocess" made the host tail look 10x its
-        # real cost in the stage split
-        a = np.asarray(a)
+        # real cost in the stage split. fetch() == np.asarray on a
+        # single-process mesh; on a multi-process mesh it all-gathers so
+        # every process runs the identical host tail (lockstep dispatch)
+        a = fetch(a)
     with timer.stage("postprocess"):
         # sub-split (VERDICT r3 weak #2: the lumped 568 ms/well hid which
         # piece binds at 8 chips): d2h fetch / unpack / component filter /
@@ -109,7 +112,7 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
             # f/s arrive bit-packed (parallel/plate.packbits_device): the
             # D2H fetch of the boolean rasters was the postprocess
             # bottleneck through the tunnel
-            f_pk, s_pk = np.asarray(f), np.asarray(s)
+            f_pk, s_pk = fetch(f), fetch(s)
         with timer.stage("post_unpack"):
             # unpack restores the exact bits
             f_np = np.unpackbits(f_pk, axis=-1)[..., :w].astype(bool)
@@ -142,9 +145,7 @@ def _finish_chunk(chunk_arrays, pruning_chunk, mesh, dsamp, config, timer):
             # H2D the packed masks (the last full-raster transfer in the
             # loop); stage2 unpacks on device. What remains here is H2D +
             # device-queue wait, which scales with chips.
-            p384 = np.asarray(
-                plate_stage2(mesh, p, jnp.asarray(masks_pk), s, dsamp)
-            )
+            p384 = fetch(plate_stage2(mesh, p, masks_pk, s, dsamp))
     with timer.stage("morse_graphs"):
         stats = [
             _analyze_well_graph(p384[j], config, dsamp[1], pruning_chunk[j])
@@ -328,7 +329,9 @@ def run_plate_streaming(
         """One chunk end-to-end; runs in a pool thread so chunks overlap
         on host (mask fits, component filter, Morse) while the device
         queue serializes their programs."""
-        dc = jax.device_put(chunk_np, sharding)
+        from tmat_tpu.parallel.distributed import put_global
+
+        dc = put_global(chunk_np, sharding)
         wm = None
         pruning_chunk = [None] * n_dev
         if detect_well:
@@ -344,12 +347,12 @@ def run_plate_streaming(
                 proj = plate_zproj_masked(mesh, dc, zcs, proj_method).astype(
                     jnp.float32
                 )
-            small_np = np.asarray(resize(proj, target, "lanczos"))
+            small_np = fetch(resize(proj, target, "lanczos"))
             pairs = [
                 make_well_mask(small_np[i], seed=seed)
                 for i in range(small_np.shape[0])
             ]
-            wm = jnp.asarray(np.stack([m for m, _ in pairs]).astype(np.float32))
+            wm = np.stack([m for m, _ in pairs]).astype(np.float32)
             shr = np.stack([s for _, s in pairs])
             pruning = np.asarray(
                 resize(jnp.asarray(~shr, jnp.float32), dsamp, "nearest") > 0
@@ -379,16 +382,25 @@ def run_plate_streaming(
         # programs on the single device stream — measured 378 ms/well for
         # ~0.26 MB (postprocess_profile, round 4), pure serialization.
         # preds (outs[1]) stays device-resident for stage2: not copied.
+        # Multi-process shards are fetched via all-gather instead (the
+        # async D2H prefetch only applies to locally-addressable arrays).
         for out in (outs[0], outs[2], outs[3]):
             try:
-                out.copy_to_host_async()
+                if getattr(out, "is_fully_addressable", True):
+                    out.copy_to_host_async()
             except (AttributeError, RuntimeError):  # pragma: no cover
                 break  # fallback: the sync fetch path is always correct
         return _finish_chunk(outs, pruning_chunk, mesh, dsamp, config, timer)
 
     well_ids: list = []
     finished = []
-    max_workers = 8
+    # Multi-controller lockstep: with >1 process every process must
+    # enqueue the same device programs in the same order, so chunk tasks
+    # serialize onto one dispatch thread (pool interleaving would let two
+    # processes order chunk i's stage2 vs chunk i+1's stage1 differently
+    # and deadlock the collectives). Single-process keeps the 8-way
+    # host-tail overlap.
+    max_workers = 1 if is_multiprocess() else 8
     try:
         with timer.stage("device_pipeline"):
             with ThreadPoolExecutor(max_workers=max_workers) as pool:
@@ -520,7 +532,11 @@ def _well_loader(img_paths, decode_workers: int = 4, ahead: int = 8):
 
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
+    from tmat_tpu.parallel.distributed import maybe_initialize_from_env
 
+    # multi-host runs set TMAT_TPU_COORDINATOR (+ process id/count, or
+    # TPU-pod auto-detection); must run before the backend is touched
+    maybe_initialize_from_env()
     enable_persistent_cache()
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -650,14 +666,17 @@ def main(args=None, argv=None):
         flush=True,
     )
 
-    out_csv = Path(args.out_root) / "plate_results.csv"
-    with open(out_csv, "w", newline="") as f:
-        writer = csv.writer(f)
-        keys = list(results)
-        writer.writerow(keys)
-        for row in zip(*results.values()):
-            writer.writerow(row)
-    print(f"Results saved to {out_csv}", flush=True)
+    # every process computes identical results (fetch() all-gathers), but
+    # exactly one owns the user-facing side effect
+    if is_primary():
+        out_csv = Path(args.out_root) / "plate_results.csv"
+        with open(out_csv, "w", newline="") as f:
+            writer = csv.writer(f)
+            keys = list(results)
+            writer.writerow(keys)
+            for row in zip(*results.values()):
+                writer.writerow(row)
+        print(f"Results saved to {out_csv}", flush=True)
     section_footer()
 
 
