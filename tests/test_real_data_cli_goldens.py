@@ -26,7 +26,9 @@ from pathlib import Path
 
 import pytest
 
-SAMPLE_DIR = Path("/root/reference/notebooks/topology/sample_data")
+from tests.real_data import sample_dir, samples_unavailable_reason
+
+SAMPLE_DIR = sample_dir()
 
 from tmat_tpu.core import defs
 
@@ -34,10 +36,12 @@ _CKPT = Path(
     defs.model_training_path("binary_segmentation/checkpoints/checkpoint_1.msgpack")
 )
 
-pytestmark = pytest.mark.skipif(
-    not (SAMPLE_DIR.is_dir() and _CKPT.is_file()),
-    reason="reference sample data or shipped checkpoint not available",
-)
+# hash-verified locate (tests/real_data.py): a wrong or corrupted sample
+# skips with the mismatching hash instead of failing with golden diffs
+_UNAVAILABLE = samples_unavailable_reason()
+if _UNAVAILABLE is None and not _CKPT.is_file():
+    _UNAVAILABLE = "shipped checkpoint not available"
+pytestmark = pytest.mark.skipif(_UNAVAILABLE is not None, reason=str(_UNAVAILABLE))
 
 # (image_id, n_branches, total_um, avg_um) at --image-width-microns 1000,
 # default thresholds (5, 10), tta=1, shipped checkpoint_1.msgpack

@@ -22,7 +22,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-SAMPLE_DIR = Path("/root/reference/notebooks/topology/sample_data")
+from tests.real_data import sample_dir, samples_unavailable_reason
+
+SAMPLE_DIR = sample_dir()
 
 # (filename, n_branches, total_len_px, avg_len_px) at thresholds (5, 10),
 # smoothing_window 12, min_branch_length 12, after PIL-bilinear resize to
@@ -34,9 +36,10 @@ GOLDENS = [
     ("D5_1_ZProj_002_mask.tif", 107, 4145.118237, 38.739423),
 ]
 
-pytestmark = pytest.mark.skipif(
-    not SAMPLE_DIR.is_dir(), reason="reference sample data not available"
-)
+# hash-verified locate (tests/real_data.py): a wrong or corrupted sample
+# skips with the mismatching hash instead of failing with golden diffs
+_UNAVAILABLE = samples_unavailable_reason()
+pytestmark = pytest.mark.skipif(_UNAVAILABLE is not None, reason=str(_UNAVAILABLE))
 
 
 def _analysis_raster(name: str) -> np.ndarray:

@@ -121,3 +121,28 @@ def test_tta8_matches_default(rng):
         )
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_production_patch_batch_sizes():
+    """Pin the per-well UNet batch at the production geometries.
+
+    The exact-coverage padded canvas sets the patch grid: a 1024-px well
+    at ds_ratio 0.625 (640-px canvas, patch 320, subdivisions 2) pads to
+    960 px -> 5x5 grid x 8 TTA = batch 200 — so the batch-200 roofline
+    measurements (BASELINE.md) ARE the headline plate geometry. 512-px
+    wells (320-px canvas -> 640 padded) run 3x3 x 8 = batch 72
+    (benchmarks/batch_mfu.py measures that point of the batch curve).
+    """
+    import jax
+
+    seen = []
+
+    def probe(b):
+        seen.append(tuple(b.shape))
+        return b[..., :1]
+
+    for canvas, expected in ((640, 200), (320, 72)):
+        seen.clear()
+        img = jnp.zeros((canvas, canvas), jnp.float32)
+        jax.eval_shape(lambda x: tiled._tiled_core(x, probe, 320, 2, 1, 8), img)
+        assert seen == [(expected, 320, 320, 1)], (canvas, seen)

@@ -135,63 +135,113 @@ def run_tool(tab: ToolTab, ns: argparse.Namespace) -> None:
     module.main(args=ns)
 
 
+class TabController:
+    """The Run-button behavior of one tab, independent of tkinter.
+
+    Holds the tab's value sources (tk.Variable in the real app; any
+    object with ``get()`` in tests — tests/test_gui_drive.py drives this
+    exact code) and dispatches the tool on a worker thread, mirroring the
+    reference GUI's in-process main(args) dispatch (gui/tmat.py:200-209).
+    ``status_set`` receives the Running/finished/exited/failed updates
+    the status bar shows.
+    """
+
+    def __init__(self, tab: ToolTab, variables: Dict[str, object], status_set):
+        self.tab = tab
+        self.variables = variables
+        self.status_set = status_set
+
+    def namespace(self) -> argparse.Namespace:
+        values = {k: v.get() for k, v in self.variables.items()}
+        return build_namespace(self.tab, values)
+
+    def launch(self, join: bool = False):
+        ns = self.namespace()
+        self.status_set(f"Running {self.tab.title}...")
+
+        def work():
+            try:
+                run_tool(self.tab, ns)
+                self.status_set(f"{self.tab.title} finished.")
+            except SystemExit as exc:
+                self.status_set(f"{self.tab.title} exited with code {exc.code}.")
+            except Exception:
+                traceback.print_exc()
+                self.status_set(f"{self.tab.title} failed (see terminal).")
+
+        thread = threading.Thread(target=work, daemon=True)
+        thread.start()
+        if join:
+            thread.join()
+        return thread
+
+
+def build_tab_widgets(frame, tab: ToolTab, ttk_mod, tk_mod, filedialog_mod):
+    """Create one tab's labeled entry/checkbox rows; returns its variables.
+
+    Shared by main() and the display-gated GUI test, so a widget-kind or
+    field rename breaks the test, not just the live app.
+    """
+    variables: Dict[str, object] = {}
+    for row, f in enumerate(tab.fields):
+        ttk_mod.Label(frame, text=f.label).grid(
+            row=row, column=0, sticky="w", padx=4, pady=2
+        )
+        if f.kind == "bool":
+            var = tk_mod.BooleanVar(value=bool(f.default))
+            ttk_mod.Checkbutton(frame, variable=var).grid(
+                row=row, column=1, sticky="w"
+            )
+        else:
+            var = tk_mod.StringVar(value="" if f.default is None else str(f.default))
+            entry = ttk_mod.Entry(frame, textvariable=var, width=48)
+            entry.grid(row=row, column=1, sticky="we", padx=4)
+            if f.kind == "dir":
+
+                def browse(v=var):
+                    path = filedialog_mod.askdirectory()
+                    if path:
+                        v.set(path)
+
+                ttk_mod.Button(frame, text="Browse", command=browse).grid(
+                    row=row, column=2, padx=2
+                )
+        variables[f.name] = var
+    return variables
+
+
+def build_app(root, tk_mod, ttk_mod, filedialog_mod):
+    """Assemble the full notebook UI; returns (status_var, controllers).
+
+    ``controllers`` maps tab title -> TabController, so a test holding a
+    real Tk root can set widget variables and press Run programmatically.
+    """
+    root.title("Tissue Model Analysis Tools (TPU)")
+    notebook = ttk_mod.Notebook(root)
+    notebook.pack(fill="both", expand=True)
+    status = tk_mod.StringVar(value="Ready.")
+
+    controllers: Dict[str, TabController] = {}
+    for tab in TABS:
+        frame = ttk_mod.Frame(notebook)
+        notebook.add(frame, text=tab.title)
+        variables = build_tab_widgets(frame, tab, ttk_mod, tk_mod, filedialog_mod)
+        controller = TabController(tab, variables, status.set)
+        controllers[tab.title] = controller
+        ttk_mod.Button(frame, text="Run", command=controller.launch).grid(
+            row=len(tab.fields), column=1, pady=8
+        )
+
+    ttk_mod.Label(root, textvariable=status).pack(fill="x", padx=4, pady=2)
+    return status, controllers
+
+
 def main():  # pragma: no cover - interactive
     import tkinter as tk
     from tkinter import filedialog, ttk
 
     root = tk.Tk()
-    root.title("Tissue Model Analysis Tools (TPU)")
-    notebook = ttk.Notebook(root)
-    notebook.pack(fill="both", expand=True)
-
-    status = tk.StringVar(value="Ready.")
-
-    for tab in TABS:
-        frame = ttk.Frame(notebook)
-        notebook.add(frame, text=tab.title)
-        variables: Dict[str, tk.Variable] = {}
-
-        for row, f in enumerate(tab.fields):
-            ttk.Label(frame, text=f.label).grid(row=row, column=0, sticky="w", padx=4, pady=2)
-            if f.kind == "bool":
-                var = tk.BooleanVar(value=bool(f.default))
-                ttk.Checkbutton(frame, variable=var).grid(row=row, column=1, sticky="w")
-            else:
-                var = tk.StringVar(value="" if f.default is None else str(f.default))
-                entry = ttk.Entry(frame, textvariable=var, width=48)
-                entry.grid(row=row, column=1, sticky="we", padx=4)
-                if f.kind == "dir":
-                    def browse(v=var):
-                        path = filedialog.askdirectory()
-                        if path:
-                            v.set(path)
-                    ttk.Button(frame, text="Browse", command=browse).grid(
-                        row=row, column=2, padx=2
-                    )
-            variables[f.name] = var
-
-        def launch(tab=tab, variables=variables):
-            values = {k: v.get() for k, v in variables.items()}
-            ns = build_namespace(tab, values)
-            status.set(f"Running {tab.title}...")
-
-            def work():
-                try:
-                    run_tool(tab, ns)
-                    status.set(f"{tab.title} finished.")
-                except SystemExit as exc:
-                    status.set(f"{tab.title} exited with code {exc.code}.")
-                except Exception:
-                    traceback.print_exc()
-                    status.set(f"{tab.title} failed (see terminal).")
-
-            threading.Thread(target=work, daemon=True).start()
-
-        ttk.Button(frame, text="Run", command=launch).grid(
-            row=len(tab.fields), column=1, pady=8
-        )
-
-    ttk.Label(root, textvariable=status).pack(fill="x", padx=4, pady=2)
+    build_app(root, tk, ttk, filedialog)
     root.mainloop()
 
 
