@@ -30,6 +30,9 @@ assert is_primary() == (int(os.environ["TMAT_TPU_PROCESS_ID"]) == 0)
 from tmat_tpu.parallel.mesh import make_mesh  # noqa: E402
 from tmat_tpu.parallel.validation import run_demo_plate  # noqa: E402
 
-res = run_demo_plate(make_mesh(axis_names=("data",)), n_devices)
+# more wells than devices -> multiple chunks, so the run exercises the
+# serialized (lockstep) multi-chunk dispatch path, not just one program
+n_wells = int(os.environ.get("TMAT_TPU_TEST_WELLS", n_devices))
+res = run_demo_plate(make_mesh(axis_names=("data",)), n_wells)
 print("WORKER_RESULT " + json.dumps(res))
 sys.stdout.flush()

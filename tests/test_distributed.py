@@ -73,6 +73,7 @@ def _worker_env(pid: int, n_processes: int, n_local: int, port: int) -> dict:
     env["TMAT_TPU_NUM_PROCESSES"] = str(n_processes)
     env["TMAT_TPU_PROCESS_ID"] = str(pid)
     env["TMAT_TPU_TEST_GLOBAL_DEVICES"] = str(n_processes * n_local)
+    env["TMAT_TPU_TEST_WELLS"] = "12"
     # `python tests/_distributed_worker.py` puts tests/ (not the repo
     # root) on sys.path[0]
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
@@ -84,16 +85,19 @@ def test_two_process_plate_matches_single_process():
     """The full plate pipeline on a mesh spanning 2 processes.
 
     2 workers x 4 virtual CPU devices coordinate over localhost; each
-    runs the shared demo plate (8 wells) through run_plate on the global
-    8-device mesh. Asserts: both processes report identical results, and
-    they match the single-process 8-device run computed in THIS process
-    (exact branch counts; float fields to tolerance).
+    runs the shared demo plate (12 wells -> TWO chunks on the 8-device
+    mesh, exercising the lockstep multi-chunk dispatch plus tail-chunk
+    padding) through run_plate on the global mesh. Asserts: both
+    processes report identical results, and they match the
+    single-process 8-device run computed in THIS process (exact branch
+    counts; float fields to tolerance).
     """
     n_processes, n_local = 2, 4
     n_devices = n_processes * n_local
+    n_wells = 12
 
     # single-process reference on this process's virtual 8-device mesh
-    ref = run_demo_plate(make_mesh(axis_names=("data",)), n_devices)
+    ref = run_demo_plate(make_mesh(axis_names=("data",)), n_wells)
     assert all(b > 0 for b in ref["total_branches"]), ref["total_branches"]
 
     port = _free_port()
