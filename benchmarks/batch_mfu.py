@@ -123,9 +123,12 @@ def main():
     for r in rows:
         if r["batch"] > base["batch"] and base["ms_per_img"]:
             speedup = base["ms_per_img"] / r["ms_per_img"]
+            # exact ratio, not floor division: batch 200 vs base 72 is a
+            # 2.78x geometry change, not a "2x fold"
             print(
-                f"# folding {r['batch'] // base['batch']}x batch-{base['batch']} "
-                f"wells into batch {r['batch']}: {speedup:.2f}x per-image",
+                f"# batch {base['batch']} -> {r['batch']} "
+                f"({r['batch'] / base['batch']:.2f}x): "
+                f"{speedup:.2f}x per-image",
                 flush=True,
             )
 

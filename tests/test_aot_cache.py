@@ -140,6 +140,56 @@ def test_corrupt_entry_recovers(aot_env, tmp_path, rng):
     np.testing.assert_array_equal(out1, out2)
 
 
+def test_poisoned_entry_retry_recompiles(aot_env, monkeypatch):
+    """A lazily-failing deserialized executable whose on-disk entry cannot
+    be unlinked (read-only shared cache dir) must RECOMPILE on the retry —
+    a plain reload would deserialize the same poisoned entry again and
+    crash the caller with the lazy failure instead of falling back."""
+    import pathlib
+
+    from jax.experimental import serialize_executable as se
+
+    fn = jax.jit(lambda x: x * 2.0)
+    x = jnp.arange(8, dtype=jnp.float32)
+    expect = np.arange(8, dtype=np.float32) * 2.0
+    out1 = aot_cache.aot_call(fn, (x,), ("poison-test", 8), label="t")
+    np.testing.assert_array_equal(np.asarray(out1), expect)
+    assert len(list(aot_env.glob("*.jaxexec"))) == 1
+
+    aot_cache.clear_memory_memo()
+
+    # every deserialization (including a retry reload) yields an
+    # executable that fails at execution time
+    def bad_load(*a, **k):
+        def poisoned(*args):
+            raise RuntimeError("lazy AOT materialization failure")
+
+        return poisoned
+
+    monkeypatch.setattr(se, "deserialize_and_load", bad_load)
+
+    # ...and the condemned entry cannot be removed (read-only dir)
+    real_unlink = pathlib.Path.unlink
+
+    def no_unlink(self, *a, **k):
+        if self.suffix == ".jaxexec":
+            raise OSError("read-only cache dir")
+        return real_unlink(self, *a, **k)
+
+    monkeypatch.setattr(pathlib.Path, "unlink", no_unlink)
+
+    before = dict(aot_cache.stats)
+    out2 = aot_cache.aot_call(fn, (x,), ("poison-test", 8), label="t")
+    np.testing.assert_array_equal(np.asarray(out2), expect)
+    assert aot_cache.stats["errors"] > before["errors"]
+    # the load that did not serve must not be counted as a hit
+    assert aot_cache.stats["hits"] == before["hits"]
+
+    # and the recompiled executable must now serve from memory
+    out3 = aot_cache.aot_call(fn, (x,), ("poison-test", 8), label="t")
+    np.testing.assert_array_equal(np.asarray(out3), expect)
+
+
 def test_prune_evicts_lru(aot_env, tmp_path, rng):
     img = rng.rand(48, 48).astype(np.float32)
     _make_segmentor(tmp_path, 1, "a.msgpack").predict(img)

@@ -11,12 +11,6 @@ cross-process mesh equal the single-process mesh results (the same
 discipline test_parallel.py applies to single-process sharding).
 """
 
-import json
-import os
-import socket
-import subprocess
-import sys
-
 import jax
 import numpy as np
 import pytest
@@ -24,10 +18,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tmat_tpu.parallel import distributed as dist
 from tmat_tpu.parallel.mesh import make_mesh
-from tmat_tpu.parallel.validation import make_demo_plate, run_demo_plate
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_distributed_worker.py")
+from tmat_tpu.parallel.validation import (
+    launch_multihost_workers,
+    make_demo_plate,
+    run_demo_plate,
+)
 
 
 def test_single_process_helpers_are_passthrough():
@@ -52,83 +47,29 @@ def test_maybe_initialize_noop_without_env(monkeypatch):
     assert jax.process_count() == 1
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
-
-
-def _worker_env(pid: int, n_processes: int, n_local: int, port: int) -> dict:
-    env = os.environ.copy()
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = " ".join(
-        f
-        for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f
-    )
-    env["XLA_FLAGS"] = (
-        f"{flags} --xla_force_host_platform_device_count={n_local}"
-    ).strip()
-    env["TMAT_TPU_COORDINATOR"] = f"localhost:{port}"
-    env["TMAT_TPU_NUM_PROCESSES"] = str(n_processes)
-    env["TMAT_TPU_PROCESS_ID"] = str(pid)
-    env["TMAT_TPU_TEST_GLOBAL_DEVICES"] = str(n_processes * n_local)
-    env["TMAT_TPU_TEST_WELLS"] = "12"
-    # `python tests/_distributed_worker.py` puts tests/ (not the repo
-    # root) on sys.path[0]
-    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
-    return env
-
-
 @pytest.mark.slow
 def test_two_process_plate_matches_single_process():
     """The full plate pipeline on a mesh spanning 2 processes.
 
-    2 workers x 4 virtual CPU devices coordinate over localhost; each
-    runs the shared demo plate (12 wells -> TWO chunks on the 8-device
-    mesh, exercising the lockstep multi-chunk dispatch plus tail-chunk
-    padding) through run_plate on the global mesh. Asserts: both
-    processes report identical results, and they match the
-    single-process 8-device run computed in THIS process (exact branch
-    counts; float fields to tolerance).
+    2 workers x 4 virtual CPU devices coordinate over localhost (via the
+    shared launch_multihost_workers scaffolding, which also asserts both
+    processes report identical results); each runs the shared demo plate
+    (12 wells -> TWO chunks on the 8-device mesh, exercising the lockstep
+    multi-chunk dispatch plus tail-chunk padding) through run_plate on
+    the global mesh. Asserts the result matches the single-process
+    8-device run computed in THIS process (exact branch counts; float
+    fields to tolerance).
     """
     n_processes, n_local = 2, 4
-    n_devices = n_processes * n_local
     n_wells = 12
 
     # single-process reference on this process's virtual 8-device mesh
     ref = run_demo_plate(make_mesh(axis_names=("data",)), n_wells)
     assert all(b > 0 for b in ref["total_branches"]), ref["total_branches"]
 
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, WORKER],
-            cwd=REPO_ROOT,
-            env=_worker_env(pid, n_processes, n_local, port),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        for pid in range(n_processes)
-    ]
-    results = []
-    for pid, proc in enumerate(procs):
-        try:
-            out, err = proc.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for p in procs:
-                p.kill()
-            raise
-        assert proc.returncode == 0, (
-            f"worker {pid} rc={proc.returncode}\nstderr tail:\n{err[-3000:]}"
-        )
-        lines = [l for l in out.splitlines() if l.startswith("WORKER_RESULT ")]
-        assert lines, f"worker {pid} printed no result:\n{out[-1000:]}"
-        results.append(json.loads(lines[-1].split(" ", 1)[1]))
-
-    # both processes computed the full (all-gathered) result identically
-    assert results[0] == results[1]
+    results = launch_multihost_workers(
+        n_processes, n_local, n_wells=n_wells, timeout=600
+    )
 
     got = results[0]
     assert got["well_id"] == ref["well_id"]

@@ -182,8 +182,15 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
                 (cache_dir() / f"{key}.jaxexec").unlink()
             except OSError:
                 pass
-            # the entry file is gone, so this recompiles (timed in compile_s)
-            compiled, _, _ = _load_or_compile(jitted, args, key, label)
+            # force_compile: the unlink above can fail (read-only shared
+            # cache dir) or a concurrent process can republish the key, so
+            # a plain reload could hand back the SAME lazily-failing
+            # deserialized executable — this retry must recompile
+            # unconditionally (timed in compile_s; republish overwrites
+            # the poisoned entry when the dir is writable)
+            compiled, _, _ = _load_or_compile(
+                jitted, args, key, label, force_compile=True
+            )
             if compiled is None:
                 return jitted(*args)
             with _LOCK:
@@ -197,16 +204,18 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
     return compiled(*args)
 
 
-def _load_or_compile(jitted, args, key: str, label: str):
+def _load_or_compile(jitted, args, key: str, label: str, force_compile=False):
     """Returns (compiled_or_None, from_disk, load_elapsed_s).
 
     ``load_elapsed_s`` is this call's contribution to ``stats['load_s']``
     (0.0 on the compile path) so a caller that later invalidates the loaded
-    entry can back it out of the wall-time attribution."""
+    entry can back it out of the wall-time attribution. ``force_compile``
+    skips the disk-load branch entirely — the invalidation-retry path must
+    never be served the on-disk entry it just condemned."""
     from jax.experimental import serialize_executable as se
 
     path = cache_dir() / f"{key}.jaxexec"
-    if path.is_file():
+    if path.is_file() and not force_compile:
         try:
             t0 = time.perf_counter()
             with open(path, "rb") as fp:

@@ -13,6 +13,7 @@ from tmat_tpu.parallel.distributed import (
     is_primary,
     maybe_initialize_from_env,
     put_global,
+    sync_processes,
 )
 from tmat_tpu.parallel.mesh import make_mesh, shard_leading, replicated
 from tmat_tpu.parallel.plate import (

@@ -16,6 +16,12 @@ equality gate instead of comparing zero-to-zero.
 
 from __future__ import annotations
 
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
 from typing import List, Tuple
 
 import numpy as np
@@ -76,3 +82,115 @@ def run_demo_plate(mesh, n_wells: int, seed: int = 0) -> dict:
     )
     res.pop("_timer")
     return res
+
+
+def multihost_worker_env(
+    pid: int, n_processes: int, n_local: int, port: int
+) -> dict:
+    """Env for one ``_multihost_worker`` subprocess: a clean virtual-CPU
+    backend with ``n_local`` devices, joined to a localhost coordinator."""
+    env = os.environ.copy()
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={n_local}"
+    ).strip()
+    env["TMAT_TPU_COORDINATOR"] = f"localhost:{port}"
+    env["TMAT_TPU_NUM_PROCESSES"] = str(n_processes)
+    env["TMAT_TPU_PROCESS_ID"] = str(pid)
+    env["TMAT_TPU_TEST_GLOBAL_DEVICES"] = str(n_processes * n_local)
+    # make the package importable for `python -m` regardless of install
+    repo_root = str(Path(__file__).resolve().parents[2])
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def launch_multihost_workers(
+    n_processes: int,
+    n_local: int,
+    n_wells: int | None = None,
+    check_local: bool = False,
+    timeout: float = 900.0,
+) -> List[dict]:
+    """Run the demo plate across ``n_processes`` coordinated subprocesses.
+
+    The one multi-host validation scaffolding (used by the driver dryrun
+    in __graft_entry__ AND tests/test_distributed.py): spawns N
+    ``_multihost_worker`` processes of ``n_local`` virtual CPU devices
+    each over a localhost coordinator, collects each worker's
+    WORKER_RESULT line, asserts every process reported the identical
+    result, and returns the result dicts (one per process).
+
+    Retried once on a fresh port: the free-port probe is inherently
+    TOCTOU-racy (the probe socket closes before worker 0's coordinator
+    binds), so a single collision with another process on the host must
+    not fail the gate. Result-disagreement AssertionErrors are NOT
+    retried.
+    """
+    last_err: Exception | None = None
+    for _ in range(2):
+        try:
+            results = _launch_once(
+                n_processes, n_local, n_wells, check_local, timeout
+            )
+            break
+        except RuntimeError as e:  # infra failure (rc != 0, timeout)
+            last_err = e
+    else:
+        raise last_err
+    assert all(r == results[0] for r in results[1:]), (
+        f"processes disagree: {results}"
+    )
+    return results
+
+
+def _launch_once(n_processes, n_local, n_wells, check_local, timeout):
+    port = _free_port()
+    procs = []
+    for pid in range(n_processes):
+        env = multihost_worker_env(pid, n_processes, n_local, port)
+        if n_wells is not None:
+            env["TMAT_TPU_TEST_WELLS"] = str(n_wells)
+        if check_local:
+            env["TMAT_TPU_TEST_CHECK_LOCAL"] = "1"
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "tmat_tpu.parallel._multihost_worker"],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    results = []
+    for pid, proc in enumerate(procs):
+        try:
+            out, err = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise RuntimeError(f"multihost worker {pid} timed out")
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"multihost worker {pid} failed (rc={proc.returncode}); "
+                f"stderr tail:\n{err[-3000:]}"
+            )
+        lines = [
+            l for l in out.splitlines() if l.startswith("WORKER_RESULT ")
+        ]
+        if not lines:
+            raise RuntimeError(
+                f"multihost worker {pid} printed no result:\n{out[-1000:]}"
+            )
+        results.append(json.loads(lines[-1].split(" ", 1)[1]))
+    return results
