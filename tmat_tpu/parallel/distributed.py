@@ -156,3 +156,50 @@ def sync_processes(name: str = "barrier") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def stripe(items):
+    """This process's round-robin share of a work list (``items[i::P]``).
+
+    The four per-image tools scale out across processes by striping their
+    image list: process i owns images i, i+P, i+2P, ... — round-robin
+    keeps stripe sizes within 1 of each other for any list length. Every
+    process must call this on the SAME ordered list (the tools' input
+    discovery is deterministic). Single-process: the full list.
+    """
+    seq = list(items)
+    if not is_multiprocess():
+        return seq
+    return seq[process_index() :: process_count()]
+
+
+def gather_objects(obj) -> list:
+    """All-gather one picklable object per process.
+
+    Returns ``[obj_from_process_0, ..., obj_from_process_{P-1}]`` on
+    EVERY process (single-process: ``[obj]``). Used by the striped tools
+    to assemble their shared CSVs on the primary process: each process
+    contributes its stripe's rows, so the write works even when the
+    output directory is NOT shared storage (the primary holds every row).
+
+    Implementation: pickle to bytes, equalize lengths with one
+    all-gather of sizes (``process_allgather`` requires equal shapes),
+    then all-gather the padded byte buffers. The channel is the job's
+    own collective fabric — the same trust domain as the arrays.
+    """
+    if not is_multiprocess():
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(np.int64(blob.size))
+    sizes = np.asarray(sizes).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: blob.size] = blob
+    blobs = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(blobs[i, : int(sizes[i])].tobytes())
+        for i in range(blobs.shape[0])
+    ]

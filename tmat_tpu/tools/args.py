@@ -20,6 +20,31 @@ from tmat_tpu.core import io as tio, zdiscovery as zd
 from tmat_tpu.core.log import SFM, section_footer, section_header
 
 
+def check_striped_discovery(ids) -> None:
+    """Guard the multi-process work-striping contract.
+
+    Multi-host tool runs stripe per-image work over the discovered input
+    list (parallel/distributed.stripe); that is only coherent when EVERY
+    process discovered the identical ordered list — i.e. the input (and
+    any chained) directory lives on shared storage. Divergent listings
+    would silently drop the images a process "owns" but cannot see, so
+    fail loudly instead. No-op single-process.
+    """
+    from tmat_tpu.parallel.distributed import gather_objects, is_multiprocess
+
+    if not is_multiprocess():
+        return
+    listings = gather_objects(list(ids))
+    if any(l != listings[0] for l in listings[1:]):
+        print(
+            f"{SFM.failure} Input discovery differs across processes "
+            "(multi-host runs require input/output directories on shared "
+            "storage); refusing to stripe a divergent work list.",
+            flush=True,
+        )
+        sys.exit(1)
+
+
 def _input_dir_help() -> None:
     print(
         "Input directory must contain either:\n"

@@ -64,6 +64,31 @@ def create_output_csv(output_file: Path) -> None:
         writer.writerow(fields)
 
 
+def append_csv_row(
+    output_dir: Path, tuned_str: str, fields: list, created_csv_files: set
+) -> None:
+    """Append one result row to the sweep-config's UTF-16 CSV.
+
+    Keeps the reference's collision contract: a pre-existing CSV this run
+    did NOT create gets a ``-N`` suffixed sibling instead of being
+    appended to (compute_branches.py:475-487).
+    """
+    output_file = output_dir / f"branching_analysis{tuned_str}.csv"
+    csv_num = 1
+    while output_file.is_file() and str(output_file) not in created_csv_files:
+        csv_num += 1
+        output_file = output_dir / f"branching_analysis{tuned_str}-{csv_num}.csv"
+    if str(output_file) not in created_csv_files:
+        create_output_csv(output_file)
+        created_csv_files.add(str(output_file))
+
+    with open(output_file, "a", encoding="utf-16") as f:
+        writer = csv.writer(f, lineterminator="\n")
+        writer.writerow(fields)
+
+    print(f"Results saved to {output_file}.", flush=True)
+
+
 def save_vis(img, save_dir, filename) -> None:
     img = np.asarray(rescale_intensity(jnp.asarray(img, jnp.float32), (0, 255)))
     file = tio.get_unique_output_filepath(os.path.join(str(save_dir), filename))
@@ -291,6 +316,7 @@ def analyze_img(
     config: dict,
     created_csv_files: set,
     use_well_mask: bool = False,
+    row_sink=None,
 ) -> None:
     """Measure branches in an image and append results
     (compute_branches.py:144-489)."""
@@ -553,20 +579,13 @@ def analyze_img(
 
         fields = [img_id, total_num_branches, total_branch_length, avg_branch_length]
 
-        output_file = output_dir / f"branching_analysis{tuned_str}.csv"
-        csv_num = 1
-        while output_file.is_file() and str(output_file) not in created_csv_files:
-            csv_num += 1
-            output_file = output_dir / f"branching_analysis{tuned_str}-{csv_num}.csv"
-        if str(output_file) not in created_csv_files:
-            create_output_csv(output_file)
-            created_csv_files.add(str(output_file))
-
-        with open(output_file, "a", encoding="utf-16") as f:
-            writer = csv.writer(f, lineterminator="\n")
-            writer.writerow(fields)
-
-        print(f"Results saved to {output_file}.", flush=True)
+        if row_sink is not None:
+            # multi-process run: rows are gathered and written by the
+            # primary process after the loop (main), preserving discovery
+            # order; writing from every process would tear the shared CSV
+            row_sink(tuned_str, fields)
+        else:
+            append_csv_row(output_dir, tuned_str, fields, created_csv_files)
 
 
 def _save_morse_vis(morse_graph, vis_dir, tuned_str, original_image, img_dsamp_res):
@@ -607,7 +626,17 @@ def _save_morse_vis(morse_graph, vis_dir, tuned_str, original_image, img_dsamp_r
 
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
+    from tmat_tpu.parallel.distributed import (
+        gather_objects,
+        is_multiprocess,
+        is_primary,
+        maybe_initialize_from_env,
+        stripe,
+    )
 
+    # multi-host runs set TMAT_TPU_COORDINATOR (+ process id/count, or
+    # TPU-pod auto-detection); must run before the backend is touched
+    maybe_initialize_from_env()
     enable_persistent_cache()
 
     default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
@@ -687,7 +716,16 @@ def main(args=None, argv=None):
     created_csv_files = set()
 
     section_header("Performing Analysis")
-    for img_id, img_files in img_paths.items():
+    # multi-host scale-out: each process analyzes a round-robin stripe of
+    # the images (per-image vis PNGs are written by their owner); CSV rows
+    # are gathered and written by the primary in discovery order
+    su.check_striped_discovery(list(img_paths))
+    multi = is_multiprocess()
+    gathered_rows: list = []
+    for gidx, (img_id, img_files) in stripe(enumerate(img_paths.items())):
+        sink = None
+        if multi:
+            sink = lambda ts, fields, g=gidx: gathered_rows.append((g, ts, fields))
         analyze_img(
             img_id,
             img_files,
@@ -696,11 +734,25 @@ def main(args=None, argv=None):
             config,
             created_csv_files,
             use_well_mask=args.detect_well,
+            row_sink=sink,
         )
 
-    cfg_path = tio.get_unique_output_filepath(output_dir / "config.json")
-    with open(cfg_path, "w", encoding="utf8") as f:
-        json.dump({k: v for k, v in config.items() if v is not None}, f, indent=4)
+    if multi:
+        # group by sweep config, rows in discovery order within each CSV
+        merged = sorted(
+            (r for part in gather_objects(gathered_rows) for r in part),
+            key=lambda r: (r[1], r[0]),
+        )
+        if is_primary():
+            for _, tuned_str, fields in merged:
+                append_csv_row(output_dir, tuned_str, fields, created_csv_files)
+
+    if is_primary():
+        cfg_path = tio.get_unique_output_filepath(output_dir / "config.json")
+        with open(cfg_path, "w", encoding="utf8") as f:
+            json.dump(
+                {k: v for k, v in config.items() if v is not None}, f, indent=4
+            )
 
     print(f"{SFM.success} Analysis complete.", flush=True)
     section_footer()

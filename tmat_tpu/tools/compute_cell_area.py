@@ -110,7 +110,16 @@ def mask_and_threshold(img, sd_coef, well_mask=None) -> np.ndarray:
 
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
+    from tmat_tpu.parallel.distributed import (
+        gather_objects,
+        is_primary,
+        maybe_initialize_from_env,
+        stripe,
+    )
 
+    # multi-host runs set TMAT_TPU_COORDINATOR (+ process id/count, or
+    # TPU-pod auto-detection); must run before the backend is touched
+    maybe_initialize_from_env()
     enable_persistent_cache()
 
     """Computes cell area and saves to output directory."""
@@ -152,14 +161,24 @@ def main(args=None, argv=None):
     rs_seed = config.get("rs_seed", 0)
     rs_seed = 0 if rs_seed in (None, "None") else int(rs_seed)
 
-    img_ids, img_path_list = zip(*all_img_paths.items())
-    test_img_path = np.atleast_1d(img_path_list[0])[0]
-    if tio.get_image_dims(test_img_path).Z > 1:
-        print(
-            f"{SFM.warning} Input images are Z stacks. Creating maximum intensity "
-            "Z projections prior to cell area calculation.",
-            flush=True,
-        )
+    # multi-host scale-out: each process owns a round-robin stripe of the
+    # (deterministically discovered) image list; per-image PNGs are
+    # written by their owner, and the shared CSV is assembled on the
+    # primary process from all-gathered rows (parallel/distributed.py)
+    su.check_striped_discovery(list(all_img_paths))
+    indexed_items = stripe(list(enumerate(all_img_paths.items())))
+    global_idxs = [i for i, _ in indexed_items]
+    img_ids = [k for _, (k, _) in indexed_items]
+    img_path_list = [v for _, (_, v) in indexed_items]
+
+    if img_path_list:
+        test_img_path = np.atleast_1d(img_path_list[0])[0]
+        if tio.get_image_dims(test_img_path).Z > 1:
+            print(
+                f"{SFM.warning} Input images are Z stacks. Creating maximum "
+                "intensity Z projections prior to cell area calculation.",
+                flush=True,
+            )
 
     area_prop = []
     gmm_thresh_all = []
@@ -253,15 +272,30 @@ def main(args=None, argv=None):
         file = os.path.join(args.out_root, THRESH_SUBDIR, f"{img_id}_thresholded.png")
         tio.save_image(tio.get_unique_output_filepath(file), gmm_thresh_all[i])
 
-    area_out_path = os.path.join(args.out_root, CALC_SUBDIR, "cell_area.csv")
-    area_out_path = tio.get_unique_output_filepath(area_out_path)
-    with open(area_out_path, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["image_id", "area_pct"])
-        for img_id, prop in zip(clean_ids, area_prop):
-            writer.writerow([img_id, prop * 100])
+    # gather (original-order index, id, value) rows from every process so
+    # the primary holds the complete CSV even on non-shared storage; the
+    # single-process path degenerates to its own rows
+    rows = [
+        (gi, cid, prop * 100)
+        for gi, cid, prop in zip(global_idxs, clean_ids, area_prop)
+    ]
+    merged = sorted(
+        (row for part in gather_objects(rows) for row in part),
+        key=lambda r: r[0],
+    )
+    if is_primary():
+        area_out_path = os.path.join(args.out_root, CALC_SUBDIR, "cell_area.csv")
+        area_out_path = tio.get_unique_output_filepath(area_out_path)
+        with open(area_out_path, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(["image_id", "area_pct"])
+            for _, img_id, pct in merged:
+                writer.writerow([img_id, pct])
 
-    print(f"... Area calculations saved to:{os.linesep}\t{area_out_path}", flush=True)
+        print(
+            f"... Area calculations saved to:{os.linesep}\t{area_out_path}",
+            flush=True,
+        )
     print(SFM.success, flush=True)
     print(END_SEPARATOR, flush=True)
 

@@ -58,7 +58,16 @@ def _rank_models_by_history(ensemble_dir: Path, n_models: int) -> np.ndarray:
 
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
+    from tmat_tpu.parallel.distributed import (
+        gather_objects,
+        is_primary,
+        maybe_initialize_from_env,
+        stripe,
+    )
 
+    # multi-host runs set TMAT_TPU_COORDINATOR (+ process id/count, or
+    # TPU-pod auto-detection); must run before the backend is touched
+    maybe_initialize_from_env()
     enable_persistent_cache()
 
     default_config_path = str(defs.default_config_path(DEFAULT_CONFIG_NAME))
@@ -150,7 +159,13 @@ def main(args=None, argv=None):
     inv_id_col = "Z Slice ID"
     inv_prob_col = "Invasion Probability"
     inv_pred_col = "Invasion Prediction (0=no 1=yes)"
-    rows = []
+    rows = []  # (stack's global index, row dict); index orders the CSV
+
+    # multi-host scale-out: each process predicts a round-robin stripe of
+    # the stacks; the shared CSV is assembled on the primary process from
+    # all-gathered rows (parallel/distributed.py)
+    su.check_striped_discovery(list(zstack_paths))
+    my_stacks = stripe(enumerate(zstack_paths.items()))
 
     # Async dispatch with a bounded window: stack i+k's host resize,
     # transfer and prep overlap stack i's forwards, while at most
@@ -162,19 +177,22 @@ def main(args=None, argv=None):
     pending: deque = deque()
 
     def collect_one():
-        zstack_id, yhat_members = pending.popleft()
+        gidx, zstack_id, yhat_members = pending.popleft()
         yhatp = np.asarray(yhat_members).mean(axis=0).squeeze(-1)
         for z in range(len(yhatp)):
             inv_prob = round(float(yhatp[z]), 4)
             rows.append(
-                {
-                    inv_id_col: f"{zstack_id}_z{z}",
-                    inv_prob_col: inv_prob,
-                    inv_pred_col: int(inv_prob > cls_thresh),
-                }
+                (
+                    gidx,
+                    {
+                        inv_id_col: f"{zstack_id}_z{z}",
+                        inv_prob_col: inv_prob,
+                        inv_pred_col: int(inv_prob > cls_thresh),
+                    },
+                )
             )
 
-    for zstack_id, zstack_path in zstack_paths.items():
+    for gidx, (zstack_id, zstack_path) in my_stacks:
         print(f"Processing {zstack_id}...", flush=True)
         try:
             img, _ = tio.load_image(zstack_path, args.time, args.channel)
@@ -204,20 +222,29 @@ def main(args=None, argv=None):
             ),
             label="inv_depth",
         )
-        pending.append((zstack_id, yhat))
+        pending.append((gidx, zstack_id, yhat))
         if len(pending) >= MAX_IN_FLIGHT:
             collect_one()
     while pending:
         collect_one()
 
-    print("Saving results...", flush=True)
-    out_csv_path = os.path.join(args.out_root, "invasion_depth_predictions.csv")
-    out_csv_path = tio.get_unique_output_filepath(out_csv_path)
-    with open(out_csv_path, "w", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=[inv_id_col, inv_prob_col, inv_pred_col])
-        writer.writeheader()
-        writer.writerows(rows)
-    print("... Results saved.", flush=True)
+    # primary assembles every process's rows in discovery order (rows
+    # within a stack stay in z order: the sort is stable)
+    merged = sorted(
+        (row for part in gather_objects(rows) for row in part),
+        key=lambda r: r[0],
+    )
+    if is_primary():
+        print("Saving results...", flush=True)
+        out_csv_path = os.path.join(args.out_root, "invasion_depth_predictions.csv")
+        out_csv_path = tio.get_unique_output_filepath(out_csv_path)
+        with open(out_csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(
+                f, fieldnames=[inv_id_col, inv_prob_col, inv_pred_col]
+            )
+            writer.writeheader()
+            writer.writerows(row for _, row in merged)
+        print("... Results saved.", flush=True)
     print(SFM.success, flush=True)
     section_footer()
 

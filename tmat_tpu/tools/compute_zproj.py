@@ -48,7 +48,16 @@ def _fs_aot(img):
 
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
+    from tmat_tpu.parallel.distributed import (
+        maybe_initialize_from_env,
+        stripe,
+        sync_processes,
+    )
+    from tmat_tpu.tools.args import check_striped_discovery
 
+    # multi-host runs set TMAT_TPU_COORDINATOR (+ process id/count, or
+    # TPU-pod auto-detection); must run before the backend is touched
+    maybe_initialize_from_env()
     enable_persistent_cache()
 
     """Computes z projections and saves to output directory."""
@@ -73,7 +82,10 @@ def main(args=None, argv=None):
     proj_method = PROJ_METHODS[args.method]
     print("Loading and computing Z stacks...", flush=True)
 
-    for zs_id, zs_path in zstack_paths.items():
+    # multi-host scale-out: each process projects a round-robin stripe of
+    # the stacks (outputs are strictly per-stack files — no shared file)
+    check_striped_discovery(list(zstack_paths))
+    for zs_id, zs_path in stripe(zstack_paths.items()):
         print(f"Processing {zs_id}...", flush=True)
         try:
             img, _ = tio.load_image(zs_path, args.time, args.channel)
@@ -106,6 +118,12 @@ def main(args=None, argv=None):
     if compute_area_after:
         from tmat_tpu.core import defs
         from tmat_tpu.tools import compute_cell_area
+
+        # every process must see every projection before the chained area
+        # tool re-discovers the out_root (multi-host runs need the out dir
+        # on shared storage for the chain; check_striped_discovery in the
+        # area tool fails loudly if the listings diverge)
+        sync_processes("zproj->area")
 
         if args_prespecified:
             compute_cell_area.main(args)
