@@ -141,6 +141,92 @@ def test_two_process_zproj_area_chain_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_branches_sweep_matches_single_process(tmp_path):
+    """compute_branches across 2 processes with a threshold sweep: rows
+    for BOTH sweep CSVs gathered to the primary in discovery order, vis
+    disabled (--no-vis exercises the native Morse stats path)."""
+    import json
+
+    from scipy import ndimage
+
+    from tmat_tpu.models.params_io import save_params
+    from tmat_tpu.models.unet import build_unet_xception
+
+    patch = 32
+    ckpt = tmp_path / "ckpt.msgpack"
+    _, variables = build_unet_xception(
+        1, (patch, patch), channels=1, filter_counts=(8, 16)
+    )
+    save_params(ckpt, variables)
+    model_cfg = tmp_path / "segmentor.json"
+    model_cfg.write_text(
+        json.dumps(
+            {
+                "patch_size": patch,
+                "checkpoint_file": str(ckpt),  # absolute: same resolution
+                "filter_counts": [8, 16],  # in-process and in workers
+                "ds_ratio": 1.0,
+                "channels": 1,
+            }
+        )
+    )
+
+    rng = np.random.RandomState(4)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        img = rng.rand(96, 96).astype(np.float32) * 10
+        rr, cc = np.mgrid[0:96, 0:96]
+        ring = np.abs(np.sqrt((rr - 48.0) ** 2 + (cc - 48.0) ** 2) - 30) < 3
+        img[ring] += 180
+        img[48, 18:78] += 150
+        img = ndimage.gaussian_filter(img, 1.0)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            in_dir / f"well{i}.tif"
+        )
+
+    out_single = tmp_path / "out_single"
+    out_multi = tmp_path / "out_multi"
+    argv_tail = [
+        "--image-width-microns",
+        "1000",
+        "--model-cfg-path",
+        str(model_cfg),
+        "--graph-thresh-1",
+        "2",
+        "8",
+        "--no-vis",
+    ]
+
+    from tmat_tpu.tools import compute_branches
+
+    compute_branches.main(argv=[str(in_dir), str(out_single)] + argv_tail)
+    ref_csvs = {
+        p.name: p.read_bytes() for p in out_single.glob("branching_analysis*.csv")
+    }
+    assert len(ref_csvs) == 2, "one CSV per sweep config expected"
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from tmat_tpu.tools import compute_branches\n"
+        f"compute_branches.main(argv=[{str(in_dir)!r}, {str(out_multi)!r}] "
+        f"+ {argv_tail!r})\n"
+    )
+    _run_workers(
+        code, 2, {"TMAT_TPU_BASE_DIR": str(tmp_path / "base")}, timeout=600
+    )
+
+    got_csvs = {
+        p.name: p.read_bytes() for p in out_multi.glob("branching_analysis*.csv")
+    }
+    assert got_csvs == ref_csvs, (
+        "both sweep CSVs must be byte-identical to single-process"
+    )
+    # config.json written once, by the primary
+    assert len(list(out_multi.glob("config*.json"))) == 1
+
+
+@pytest.mark.slow
 def test_two_process_inv_depth_matches_single_process(tmp_path, monkeypatch):
     """compute_inv_depth across 2 processes: striped stacks, CSV rows
     gathered to the primary in discovery order."""
