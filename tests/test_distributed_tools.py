@@ -10,16 +10,15 @@ on the primary via gather_objects. These tests validate that for real:
 the merged outputs are byte-identical to a single-process run.
 """
 
-import csv
-import subprocess
-import sys
-
 import numpy as np
 import pytest
 from PIL import Image
 
 from tmat_tpu.parallel.distributed import gather_objects, stripe
-from tmat_tpu.parallel.validation import _free_port, multihost_worker_env
+from tmat_tpu.parallel.validation import (
+    _InfraFailure,
+    run_coordinated_workers,
+)
 
 
 def _make_imgs(d, n=5):
@@ -32,29 +31,14 @@ def _make_imgs(d, n=5):
 
 
 def _run_workers(code, n_processes, extra_env, timeout=420):
-    port = _free_port()
-    procs = []
-    for pid in range(n_processes):
-        env = multihost_worker_env(pid, n_processes, 1, port)
-        env.update(extra_env)
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-c", code],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
-            )
+    """Shared coordinated-spawn scaffolding, one port-collision retry."""
+    try:
+        return run_coordinated_workers(
+            ["-c", code], n_processes, 1, extra_env, timeout=timeout
         )
-    for pid, p in enumerate(procs):
-        try:
-            out, err = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, (
-            f"worker {pid} rc={p.returncode}\nstderr tail:\n{err[-3000:]}"
+    except _InfraFailure:
+        return run_coordinated_workers(
+            ["-c", code], n_processes, 1, extra_env, timeout=timeout
         )
 
 
@@ -97,6 +81,37 @@ def test_two_process_cell_area_matches_single_process(tmp_path):
     pngs = sorted(p.name for p in (out_multi / "thresholded").glob("*.png"))
     ref_pngs = sorted(p.name for p in (out_single / "thresholded").glob("*.png"))
     assert pngs == ref_pngs
+
+
+@pytest.mark.slow
+def test_two_process_cell_area_bad_file_fails_coordinated(tmp_path):
+    """One unreadable image must fail the WHOLE multi-process run promptly:
+    the owning process records the error instead of sys.exit(1)ing alone
+    (its peer would hang in the row gather), and every process exits
+    nonzero after the merge reports it."""
+    in_dir = tmp_path / "in"
+    _make_imgs(in_dir, n=4)
+    (in_dir / "img1.tif").write_bytes(b"not a tiff at all")
+    out = tmp_path / "out"
+    out.mkdir()
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from tmat_tpu.tools import compute_cell_area\n"
+        f"compute_cell_area.main(argv=[{str(in_dir)!r}, {str(out)!r}])\n"
+    )
+    with pytest.raises(RuntimeError) as exc_info:
+        # 120s: a hung peer would hit the timeout path and raise
+        # _InfraFailure instead of the prompt rc!=0 RuntimeError
+        _run_workers(
+            code, 2, {"TMAT_TPU_BASE_DIR": str(tmp_path / "base")}, timeout=120
+        )
+    assert not isinstance(exc_info.value, _InfraFailure), (
+        f"run hung instead of failing coordinated: {exc_info.value}"
+    )
+    assert "rc=1" in str(exc_info.value)
+    # the failed run must not have published a CSV
+    assert not (out / "calculations" / "cell_area.csv").exists()
 
 
 @pytest.mark.slow

@@ -173,6 +173,28 @@ def stripe(items):
     return seq[process_index() :: process_count()]
 
 
+def merge_striped_rows(rows: list, error: "Optional[str]" = None):
+    """Combine every process's striped result rows; propagate failures.
+
+    Each process passes its ``(global_index, ...)`` row tuples plus an
+    optional error string (a failure it caught instead of exiting, so
+    its peers are not left blocking in this collective). Returns
+    ``(merged_rows, errors)``: rows from ALL processes sorted by their
+    global index (stable — intra-image row order survives), and the
+    list of reported error strings. Callers must treat a non-empty
+    ``errors`` as a coordinated failure: every process sees the same
+    list, so all can exit together instead of one dying mid-run and the
+    rest hanging in the next collective. Single-process: the caller's
+    own rows and error.
+    """
+    parts = gather_objects({"rows": list(rows), "error": error})
+    errors = [p["error"] for p in parts if p["error"]]
+    merged = sorted(
+        (r for p in parts for r in p["rows"]), key=lambda r: r[0]
+    )
+    return merged, errors
+
+
 def gather_objects(obj) -> list:
     """All-gather one picklable object per process.
 

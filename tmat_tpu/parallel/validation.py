@@ -22,7 +22,7 @@ import socket
 import subprocess
 import sys
 from pathlib import Path
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -103,6 +103,11 @@ def multihost_worker_env(
     env["TMAT_TPU_NUM_PROCESSES"] = str(n_processes)
     env["TMAT_TPU_PROCESS_ID"] = str(pid)
     env["TMAT_TPU_TEST_GLOBAL_DEVICES"] = str(n_processes * n_local)
+    # launcher-owned knobs must not leak in from an outer shell (a stray
+    # TMAT_TPU_TEST_CHECK_LOCAL=1 would silently double every worker's
+    # work); the launcher re-sets the ones it wants
+    for k in ("TMAT_TPU_TEST_WELLS", "TMAT_TPU_TEST_CHECK_LOCAL"):
+        env.pop(k, None)
     # make the package importable for `python -m` regardless of install
     repo_root = str(Path(__file__).resolve().parents[2])
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
@@ -113,6 +118,88 @@ def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+# stderr markers of a distributed-INIT infrastructure failure (port
+# collision, coordinator unreachable) — the only failures worth a retry;
+# a worker that died on its own assertions is a real bug and is not
+class _InfraFailure(RuntimeError):
+    pass
+
+
+_INFRA_MARKERS = (
+    "coordinat",  # coordinator / coordination service
+    "bind",
+    "UNAVAILABLE",
+    "DEADLINE",
+    "failed to connect",
+)
+
+
+def run_coordinated_workers(
+    argv_tail: List[str],
+    n_processes: int,
+    n_local: int = 1,
+    extra_env: Optional[dict] = None,
+    per_pid_env=None,
+    timeout: float = 900.0,
+):
+    """Spawn N coordinated subprocesses over a fresh localhost port.
+
+    The ONE spawn/reap loop for every multi-process validation path
+    (driver dryrun, distributed tests, distributed tool tests):
+    ``argv_tail`` follows ``sys.executable`` (e.g. ``["-m", module]`` or
+    ``["-c", code]``). ALL workers are reaped before returning or
+    raising — an early failure must not leak live workers into a
+    retry's CPU budget. Raises ``_InfraFailure`` for failures that smell
+    like distributed-init infrastructure (port TOCTOU, coordinator
+    timeouts), plain ``RuntimeError`` otherwise. Returns each worker's
+    stdout, in pid order.
+    """
+    port = _free_port()
+    procs = []
+    for pid in range(n_processes):
+        env = multihost_worker_env(pid, n_processes, n_local, port)
+        if extra_env:
+            env.update(extra_env)
+        if per_pid_env:
+            env.update(per_pid_env(pid))
+        procs.append(
+            subprocess.Popen(
+                [sys.executable] + list(argv_tail),
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outcomes = []
+    timed_out = False
+    for proc in procs:
+        try:
+            out, err = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            for p in procs:
+                p.kill()
+            out, err = proc.communicate()
+        outcomes.append((proc.returncode, out, err))
+    # every worker is reaped past this point
+    if timed_out:
+        raise _InfraFailure(
+            f"coordinated workers timed out after {timeout}s; stderr tails:\n"
+            + "\n".join(err[-500:] for _, _, err in outcomes)
+        )
+    for pid, (rc, out, err) in enumerate(outcomes):
+        if rc != 0:
+            msg = (
+                f"coordinated worker {pid} failed (rc={rc}); "
+                f"stderr tail:\n{err[-3000:]}"
+            )
+            if any(m in err for m in _INFRA_MARKERS):
+                raise _InfraFailure(msg)
+            raise RuntimeError(msg)
+    return [out for _, out, _ in outcomes]
 
 
 def launch_multihost_workers(
@@ -131,60 +218,28 @@ def launch_multihost_workers(
     WORKER_RESULT line, asserts every process reported the identical
     result, and returns the result dicts (one per process).
 
-    Retried once on a fresh port: the free-port probe is inherently
-    TOCTOU-racy (the probe socket closes before worker 0's coordinator
-    binds), so a single collision with another process on the host must
-    not fail the gate. Result-disagreement AssertionErrors are NOT
-    retried.
+    Retried once on a fresh port — but ONLY for infrastructure failures
+    (the free-port probe is inherently TOCTOU-racy: the probe socket
+    closes before worker 0's coordinator binds). A worker that died on
+    its own assertions (a real sharding bug) raises immediately, and
+    result-disagreement AssertionErrors are never retried.
     """
-    last_err: Exception | None = None
-    for _ in range(2):
-        try:
-            results = _launch_once(
-                n_processes, n_local, n_wells, check_local, timeout
-            )
-            break
-        except RuntimeError as e:  # infra failure (rc != 0, timeout)
-            last_err = e
-    else:
-        raise last_err
-    assert all(r == results[0] for r in results[1:]), (
-        f"processes disagree: {results}"
-    )
-    return results
-
-
-def _launch_once(n_processes, n_local, n_wells, check_local, timeout):
-    port = _free_port()
-    procs = []
-    for pid in range(n_processes):
-        env = multihost_worker_env(pid, n_processes, n_local, port)
-        if n_wells is not None:
-            env["TMAT_TPU_TEST_WELLS"] = str(n_wells)
-        if check_local:
-            env["TMAT_TPU_TEST_CHECK_LOCAL"] = "1"
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, "-m", "tmat_tpu.parallel._multihost_worker"],
-                env=env,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
-            )
+    extra = {}
+    if n_wells is not None:
+        extra["TMAT_TPU_TEST_WELLS"] = str(n_wells)
+    if check_local:
+        extra["TMAT_TPU_TEST_CHECK_LOCAL"] = "1"
+    argv_tail = ["-m", "tmat_tpu.parallel._multihost_worker"]
+    try:
+        outs = run_coordinated_workers(
+            argv_tail, n_processes, n_local, extra, timeout=timeout
+        )
+    except _InfraFailure:
+        outs = run_coordinated_workers(
+            argv_tail, n_processes, n_local, extra, timeout=timeout
         )
     results = []
-    for pid, proc in enumerate(procs):
-        try:
-            out, err = proc.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for p in procs:
-                p.kill()
-            raise RuntimeError(f"multihost worker {pid} timed out")
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"multihost worker {pid} failed (rc={proc.returncode}); "
-                f"stderr tail:\n{err[-3000:]}"
-            )
+    for pid, out in enumerate(outs):
         lines = [
             l for l in out.splitlines() if l.startswith("WORKER_RESULT ")
         ]
@@ -193,4 +248,7 @@ def _launch_once(n_processes, n_local, n_wells, check_local, timeout):
                 f"multihost worker {pid} printed no result:\n{out[-1000:]}"
             )
         results.append(json.loads(lines[-1].split(" ", 1)[1]))
+    assert all(r == results[0] for r in results[1:]), (
+        f"processes disagree: {results}"
+    )
     return results

@@ -21,6 +21,7 @@ import csv
 import json
 import os
 import sys
+import traceback
 from functools import partial
 from itertools import product
 from pathlib import Path
@@ -627,10 +628,11 @@ def _save_morse_vis(morse_graph, vis_dir, tuned_str, original_image, img_dsamp_r
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
     from tmat_tpu.parallel.distributed import (
-        gather_objects,
         is_multiprocess,
         is_primary,
         maybe_initialize_from_env,
+        merge_striped_rows,
+        process_index,
         stripe,
     )
 
@@ -722,27 +724,44 @@ def main(args=None, argv=None):
     su.check_striped_discovery(list(img_paths))
     multi = is_multiprocess()
     gathered_rows: list = []
+    stripe_error = None
     for gidx, (img_id, img_files) in stripe(enumerate(img_paths.items())):
         sink = None
         if multi:
             sink = lambda ts, fields, g=gidx: gathered_rows.append((g, ts, fields))
-        analyze_img(
-            img_id,
-            img_files,
-            model,
-            output_dir,
-            config,
-            created_csv_files,
-            use_well_mask=args.detect_well,
-            row_sink=sink,
-        )
+        kwargs = dict(use_well_mask=args.detect_well, row_sink=sink)
+        if not multi:
+            analyze_img(
+                img_id, img_files, model, output_dir, config,
+                created_csv_files, **kwargs,
+            )
+            continue
+        try:
+            analyze_img(
+                img_id, img_files, model, output_dir, config,
+                created_csv_files, **kwargs,
+            )
+        except SystemExit as e:
+            # do NOT die alone: peers would hang in the row gather below;
+            # fail together after the merge reports the error
+            stripe_error = (
+                f"process {process_index()}: analyzing {img_id} exited "
+                f"with code {e.code}"
+            )
+            break
+        except Exception as e:  # unreadable file, metadata error, ...
+            traceback.print_exc()
+            stripe_error = f"process {process_index()}: {img_id}: {e}"
+            break
 
     if multi:
-        # group by sweep config, rows in discovery order within each CSV
-        merged = sorted(
-            (r for part in gather_objects(gathered_rows) for r in part),
-            key=lambda r: (r[1], r[0]),
-        )
+        # rows arrive sorted by global image index; append_csv_row routes
+        # each to its sweep config's CSV, so per-CSV discovery order holds
+        merged, errors = merge_striped_rows(gathered_rows, stripe_error)
+        if errors:
+            for e in errors:
+                print(f"{SFM.failure} {e}", flush=True)
+            sys.exit(1)
         if is_primary():
             for _, tuned_str, fields in merged:
                 append_csv_row(output_dir, tuned_str, fields, created_csv_files)

@@ -111,10 +111,13 @@ def mask_and_threshold(img, sd_coef, well_mask=None) -> np.ndarray:
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
     from tmat_tpu.parallel.distributed import (
-        gather_objects,
+        is_multiprocess,
         is_primary,
         maybe_initialize_from_env,
+        merge_striped_rows,
+        process_index,
         stripe,
+        sync_processes,
     )
 
     # multi-host runs set TMAT_TPU_COORDINATOR (+ process id/count, or
@@ -133,6 +136,13 @@ def main(args=None, argv=None):
         args_prespecified = True
 
     all_img_paths = su.cell_area_verify_input_dir(args.in_root)
+
+    # every process must finish reading the input listing before any
+    # process mutates out_root: the zproj --area chain reuses out_root as
+    # in_root, and a fast peer's verify_output_dir would otherwise create
+    # the thresholded/ + calculations/ subdirs mid-discovery and trip the
+    # files-XOR-dirs check on a lagging process (no-op single-process)
+    sync_processes("cell_area input discovered")
 
     try:
         su.verify_output_dir(args.out_root, [THRESH_SUBDIR, CALC_SUBDIR])
@@ -183,6 +193,7 @@ def main(args=None, argv=None):
     area_prop = []
     gmm_thresh_all = []
     all_well_masks = []
+    stripe_error = None
 
     def chunks(lst, n):
         for i in range(0, len(lst), n):
@@ -196,6 +207,12 @@ def main(args=None, argv=None):
             ]
         except OSError as error:
             print(f"{SFM.failure}{error}", flush=True)
+            if is_multiprocess():
+                # do NOT exit: peers would block in the row gather below.
+                # Record the failure; every process exits together after
+                # the merge sees it (coordinated failure).
+                stripe_error = f"process {process_index()}: {error}"
+                break
             sys.exit(1)
 
         if detect_well:
@@ -264,6 +281,10 @@ def main(args=None, argv=None):
 
     section_header("Saving Results...")
     clean_ids = [i.replace("/", "_").replace("\\", "_") for i in img_ids]
+    if stripe_error is not None:
+        # caught failure mid-stripe: keep only the completed images (the
+        # run still fails below, after every process joins the gather)
+        clean_ids = clean_ids[: len(gmm_thresh_all)]
 
     for i, img_id in enumerate(clean_ids):
         if detect_well:
@@ -274,15 +295,18 @@ def main(args=None, argv=None):
 
     # gather (original-order index, id, value) rows from every process so
     # the primary holds the complete CSV even on non-shared storage; the
-    # single-process path degenerates to its own rows
+    # single-process path degenerates to its own rows. A process that
+    # caught a failure contributes its error instead of exiting mid-run
+    # (peers would hang in this collective); everyone exits together.
     rows = [
         (gi, cid, prop * 100)
         for gi, cid, prop in zip(global_idxs, clean_ids, area_prop)
     ]
-    merged = sorted(
-        (row for part in gather_objects(rows) for row in part),
-        key=lambda r: r[0],
-    )
+    merged, errors = merge_striped_rows(rows, stripe_error)
+    if errors:
+        for e in errors:
+            print(f"{SFM.failure} {e}", flush=True)
+        sys.exit(1)
     if is_primary():
         area_out_path = os.path.join(args.out_root, CALC_SUBDIR, "cell_area.csv")
         area_out_path = tio.get_unique_output_filepath(area_out_path)

@@ -59,9 +59,11 @@ def _rank_models_by_history(ensemble_dir: Path, n_models: int) -> np.ndarray:
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
     from tmat_tpu.parallel.distributed import (
-        gather_objects,
+        is_multiprocess,
         is_primary,
         maybe_initialize_from_env,
+        merge_striped_rows,
+        process_index,
         stripe,
     )
 
@@ -192,12 +194,18 @@ def main(args=None, argv=None):
                 )
             )
 
+    stripe_error = None
     for gidx, (zstack_id, zstack_path) in my_stacks:
         print(f"Processing {zstack_id}...", flush=True)
         try:
             img, _ = tio.load_image(zstack_path, args.time, args.channel)
         except OSError as error:
             print(f"{SFM.failure}{error}", flush=True)
+            if is_multiprocess():
+                # do NOT exit: peers would block in the row gather below;
+                # record the failure and fail together after the merge
+                stripe_error = f"process {process_index()}: {error}"
+                break
             sys.exit(1)
         # host Lanczos-4 resize (the reference's cv2 kernel) + fused
         # device tail: 2.2x ingest throughput over the all-device prep
@@ -229,11 +237,14 @@ def main(args=None, argv=None):
         collect_one()
 
     # primary assembles every process's rows in discovery order (rows
-    # within a stack stay in z order: the sort is stable)
-    merged = sorted(
-        (row for part in gather_objects(rows) for row in part),
-        key=lambda r: r[0],
-    )
+    # within a stack stay in z order: the sort is stable); a caught
+    # failure propagates through the same gather so every process exits
+    # together instead of peers hanging in the collective
+    merged, errors = merge_striped_rows(rows, stripe_error)
+    if errors:
+        for e in errors:
+            print(f"{SFM.failure} {e}", flush=True)
+        sys.exit(1)
     if is_primary():
         print("Saving results...", flush=True)
         out_csv_path = os.path.join(args.out_root, "invasion_depth_predictions.csv")

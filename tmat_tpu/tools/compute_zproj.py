@@ -49,7 +49,10 @@ def _fs_aot(img):
 def main(args=None, argv=None):
     from tmat_tpu.core.compile_cache import enable_persistent_cache
     from tmat_tpu.parallel.distributed import (
+        gather_objects,
+        is_multiprocess,
         maybe_initialize_from_env,
+        process_index,
         stripe,
         sync_processes,
     )
@@ -85,12 +88,19 @@ def main(args=None, argv=None):
     # multi-host scale-out: each process projects a round-robin stripe of
     # the stacks (outputs are strictly per-stack files — no shared file)
     check_striped_discovery(list(zstack_paths))
+    stripe_error = None
     for zs_id, zs_path in stripe(zstack_paths.items()):
         print(f"Processing {zs_id}...", flush=True)
         try:
             img, _ = tio.load_image(zs_path, args.time, args.channel)
         except OSError as error:
             print(f"{SFM.failure}{error}", flush=True)
+            if is_multiprocess():
+                # do NOT exit: peers would either hang in the chain
+                # barrier below or silently "succeed" with this stripe's
+                # projections missing; fail together instead
+                stripe_error = f"process {process_index()}: {error}"
+                break
             sys.exit(1)
         # med/avg of integer stacks produce floats; save_image keeps them as
         # float TIFFs (mirroring the reference's cv2.imwrite behavior)
@@ -110,6 +120,16 @@ def main(args=None, argv=None):
         save_path = tio.get_unique_output_filepath(save_path)
         tio.save_image(save_path, zproj)
         print(f"Z projection saved to {save_path}", flush=True)
+
+    if is_multiprocess():
+        # coordinated success/failure: without this gather a process that
+        # failed mid-stripe would leave the combined run silently missing
+        # its projections (plain zproj has no later collective)
+        errors = [e for e in gather_objects(stripe_error) if e]
+        if errors:
+            for e in errors:
+                print(f"{SFM.failure} {e}", flush=True)
+            sys.exit(1)
 
     print("... Projections saved.", flush=True)
     print(SFM.success, flush=True)
