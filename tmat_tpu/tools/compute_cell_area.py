@@ -227,6 +227,15 @@ def main(args=None, argv=None):
         all_well_masks.extend(well_masks)
 
         # Bucket same-shape images so each bucket is ONE vmapped device call.
+        # NOTE (multi-process determinism): striping changes bucket sizes, so
+        # an image can take the singleton program in one world and the
+        # vmapped batch program in another. On the CPU backend the two
+        # lower to bitwise-equal results (test_distributed_tools pins CSV
+        # byte-identity); on TPU a differently-tiled GMM reduction may
+        # differ in the last ULP. Cross-process results are exact in
+        # structure and float-tolerant in the last digit — documented
+        # rather than engineered around (forcing singleton programs
+        # everywhere would cost the batched path its dispatch savings).
         buckets = defaultdict(list)
         for i, img in enumerate(imgs):
             buckets[img.shape].append(i)
