@@ -90,7 +90,15 @@ def main(args=None, argv=None):
     args = args if args is not None else _parse(argv)
 
     from tmat_tpu.core.compile_cache import enable_persistent_cache
+    from tmat_tpu.parallel.distributed import (
+        maybe_initialize_from_env,
+        process_count,
+    )
 
+    # pod warmup: AOT keys include (process_count, process_index), so a
+    # multi-host config must be warmed AS that config — run warmup on
+    # every host with the same TMAT_TPU_COORDINATOR env as the real job
+    maybe_initialize_from_env()
     cache_dir = enable_persistent_cache()
     print(f"{SFM.info} Persistent compile cache: {cache_dir}")
     print(
@@ -101,7 +109,10 @@ def main(args=None, argv=None):
     tmp = Path(tempfile.mkdtemp(prefix="tmat_warmup_"))
     try:
         in_dir = tmp / "in"
-        _write_stack(in_dir / "stack_W1", args.z, args.size, rng)
+        # one stack per process: the striped tools warm a process's
+        # programs only on images that process owns
+        for w in range(max(1, process_count())):
+            _write_stack(in_dir / f"stack_W{w + 1}", args.z, args.size, rng)
 
         runs = []
         if "zproj" in args.tools:
