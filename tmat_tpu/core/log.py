@@ -1,37 +1,51 @@
 """ANSI-styled terminal messages and section headers.
 
 Parity target: fl_tissue_model_tools/colored_messages.py:8-28 and the section
-header/footer helpers in script_util.py:17-37.
+header/footer helpers in script_util.py:17-37. The escape sequences and tag
+texts are an output CONTRACT (scripts and tests match on the exact bytes);
+they are built here from the 256-color palette indices rather than spelled
+out per attribute.
 """
 
 from __future__ import annotations
 
 import shutil
-from dataclasses import dataclass
+
+_BOLD = "\x1b[1m"
+_RESET = "\x1b[0m"
 
 
-@dataclass
+def _color(palette_index: int) -> str:
+    """Bold 256-color foreground prefix (xterm palette)."""
+    return f"\x1b[38;5;{palette_index}m{_BOLD}"
+
+
+def _tag(text: str, color: str) -> str:
+    return f"{color}[{text}]{_RESET}"
+
+
 class SFM:
-    """Colored terminal message tags (same tag vocabulary as the reference)."""
+    """Colored terminal message tags (same tag vocabulary and byte-exact
+    escape sequences as the reference's SFM)."""
 
-    red = "\x1b[38;5;1m\x1b[1m"
-    green = "\x1b[38;5;2m\x1b[1m"
-    cyan = "\x1b[38;5;6m\x1b[1m"
-    purple = "\x1b[38;5;5m\x1b[1m"
-    yellow = "\x1b[38;5;3m\x1b[1m"
-    blue = "\x1b[38;5;4m\x1b[1m"
-    bold = "\x1b[1m"
-    reset = "\x1b[0m"
-    success = f"{green}[SUCCESS]{reset}"
-    failure = f"{red}[FAILURE]{reset}"
-    warning = f"{yellow}[WARNING]{reset}"
-    info = f"{blue}[INFO]{reset}"
-    all_succeeded = f"{green}[ALL SUCCEEDED]{reset}"
-    failures_present = f"{red}[FAILURES PRESENT]{reset}"
+    red = _color(1)
+    green = _color(2)
+    yellow = _color(3)
+    blue = _color(4)
+    purple = _color(5)
+    cyan = _color(6)
+    bold = _BOLD
+    reset = _RESET
+    success = _tag("SUCCESS", green)
+    failure = _tag("FAILURE", red)
+    warning = _tag("WARNING", yellow)
+    info = _tag("INFO", blue)
+    all_succeeded = _tag("ALL SUCCEEDED", green)
+    failures_present = _tag("FAILURES PRESENT", red)
 
     @classmethod
-    def highlight(cls, cmd: str) -> str:
-        return f"{cls.purple}{cmd}{cls.reset}"
+    def highlight(cls, text: str) -> str:
+        return f"{cls.purple}{text}{cls.reset}"
 
 
 def _term_width(default: int = 80) -> int:
