@@ -48,6 +48,27 @@ def test_stripe_and_gather_single_process_passthrough():
 
 
 @pytest.mark.slow
+def test_two_process_gather_objects_unequal_sizes():
+    """gather_objects pads pickle buffers to the max size across
+    processes; wildly unequal payloads must round-trip exactly, in pid
+    order, on BOTH processes."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from tmat_tpu.parallel.distributed import (\n"
+        "    gather_objects, maybe_initialize_from_env, process_index)\n"
+        "assert maybe_initialize_from_env()\n"
+        "pid = process_index()\n"
+        "payload = {'pid': pid, 'blob': 'x' * (10 if pid == 0 else 100_000)}\n"
+        "got = gather_objects(payload)\n"
+        "assert [g['pid'] for g in got] == [0, 1], got\n"
+        "assert len(got[0]['blob']) == 10 and len(got[1]['blob']) == 100_000\n"
+        "print('GATHER_OK')\n"
+    )
+    outs = _run_workers(code, 2, {}, timeout=180)
+    assert all("GATHER_OK" in o for o in outs)
+
+
+@pytest.mark.slow
 def test_two_process_cell_area_matches_single_process(tmp_path):
     in_dir = tmp_path / "in"
     _make_imgs(in_dir, n=5)
