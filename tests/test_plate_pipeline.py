@@ -363,6 +363,18 @@ def test_probe_plate_geometry(tmp_path, rng):
     )
     assert geo is not None and geo[3] == np.uint16
 
+    # wells that differ in SPATIAL size are refused loudly: zero-padding
+    # a smaller well to the plate maximum would bias its area denominator
+    # and GMM background fit rather than fail (ragged Z stays supported)
+    small = tmp_path / "small.tif"
+    PILImage.fromarray(rng.randint(0, 255, (12, 12)).astype(np.uint8)).save(
+        small
+    )
+    with pytest.raises(ValueError, match="spatial size"):
+        plate_pipeline._probe_plate_geometry(
+            {"w1": paths["w1"], "w3": str(small)}
+        )
+
 
 def test_host_tails_overlap_across_chunks(monkeypatch):
     """Structural pin for the multi-chip projection (VERDICT r4 #7).

@@ -268,12 +268,12 @@ def get_image_dims(file_path: str) -> ImageDims:
     return dims
 
 
-def probe_image_dims(file_path: str) -> Optional[ImageDims]:
-    """Header-only TCZYX dims: page count + ImageJ metadata, NO pixel
-    decode (PIL's n_frames walks TIFF IFDs without decompressing). Used by
-    streaming plate loaders to size the padded batch before any well is
-    decoded. Returns None when dims need a full decode (ND2, unreadable
-    headers) — callers fall back to get_image_dims.
+def probe_image_header(file_path: str) -> Optional[Tuple[ImageDims, str]]:
+    """Header-only (TCZYX dims, PIL mode) from ONE file open: page count +
+    ImageJ metadata, NO pixel decode (PIL's n_frames walks TIFF IFDs
+    without decompressing). Used by streaming plate loaders to size the
+    padded batch — dims AND dtype — before any well is decoded. Returns
+    None when the header needs a full decode (ND2, unreadable headers).
     """
     file_path = str(file_path)
     ext = Path(file_path).suffix.lower().lstrip(".")
@@ -288,11 +288,19 @@ def probe_image_dims(file_path: str) -> Optional[ImageDims]:
             meta = _parse_imagej_description(str(desc))
             height, width = img.height, img.width
             samples = len(img.getbands())
+            mode = img.mode
     except (OSError, ValueError):
         return None
 
     n_t, n_c, n_z = _dims_from_pages(n_pages * samples, samples, meta)
-    return ImageDims(T=n_t, C=n_c, Z=n_z, Y=height, X=width)
+    return ImageDims(T=n_t, C=n_c, Z=n_z, Y=height, X=width), mode
+
+
+def probe_image_dims(file_path: str) -> Optional[ImageDims]:
+    """Header-only TCZYX dims (see probe_image_header); None when dims
+    need a full decode — callers fall back to get_image_dims."""
+    probed = probe_image_header(file_path)
+    return probed[0] if probed else None
 
 
 def save_image(file_path: Union[str, Path], img: np.ndarray) -> None:

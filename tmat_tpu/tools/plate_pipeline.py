@@ -334,6 +334,7 @@ def run_plate_streaming(
         dc = put_global(chunk_np, sharding)
         wm = None
         pruning_chunk = [None] * n_dev
+        stage1_in, stage1_pre = dc, pre_project
         if detect_well:
             from tmat_tpu.tools.compute_branches import make_well_mask
 
@@ -347,6 +348,10 @@ def run_plate_streaming(
                 proj = plate_zproj_masked(mesh, dc, zcs, proj_method).astype(
                     jnp.float32
                 )
+                # the fs projection is the most expensive device stage;
+                # feed it straight into stage1 (its pre_projected path is
+                # the same astype) instead of projecting the stack twice
+                stage1_in, stage1_pre = proj, True
             small_np = fetch(resize(proj, target, "lanczos"))
             pairs = [
                 make_well_mask(small_np[i], seed=seed)
@@ -361,7 +366,7 @@ def run_plate_streaming(
 
         outs = plate_stage1(
             mesh,
-            dc,
+            stage1_in,
             segmentor._pred_fn,
             segmentor.patch_size,
             2,
@@ -370,7 +375,7 @@ def run_plate_streaming(
             wm,
             proj_method=proj_method,
             z_counts=zcs,
-            pre_projected=pre_project,
+            pre_projected=stage1_pre,
             tta=getattr(segmentor, "tta", 8),
             # cross-process AOT executable cache (checkpoint-fingerprinted;
             # None for unfingerprintable test doubles -> plain jit path)
@@ -410,11 +415,19 @@ def run_plate_streaming(
                     # instantly and every pending chunk array sits in the
                     # pool's unbounded internal queue — backpressure must
                     # propagate to the producer through chunk_q
-                    while (
-                        sum(not f.done() for f in futures)
-                        >= max_workers + max(1, prefetch)
-                    ):
-                        futures_wait(futures, return_when=FIRST_COMPLETED)
+                    while True:
+                        # fail fast: surface a failed chunk NOW instead of
+                        # after the whole plate has been dispatched
+                        for f in futures:
+                            if f.done() and f.exception() is not None:
+                                raise f.exception()
+                        # wait on PENDING futures only — waiting on a list
+                        # that still contains completed futures returns
+                        # immediately, which made this loop a hot spin
+                        pending = [f for f in futures if not f.done()]
+                        if len(pending) < max_workers + max(1, prefetch):
+                            break
+                        futures_wait(pending, return_when=FIRST_COMPLETED)
                     item = chunk_q.get()
                     if item is None:
                         break
@@ -454,22 +467,33 @@ _PIL_MODE_DTYPES = {
 
 
 def _probe_plate_geometry(img_paths):
-    """(max_z, max_h, max_w, dtype) from header-only probes, or None.
+    """(max_z, h, w, dtype) from header-only probes, or None.
 
     None means some well needs a full decode to know its dims (ND2,
     multi-channel/time files that need slicing, unreadable headers) —
-    callers fall back to the buffered load path.
+    callers fall back to the buffered load path. Each file is opened
+    exactly ONCE (probe_image_header returns dims AND mode; a second
+    open per slice doubled the startup header reads on a 96x40 plate).
+
+    Raises ValueError when wells differ in SPATIAL size: zero-padding a
+    smaller well to the plate maximum would bias its area denominator,
+    intensity rescale and GMM background fit, and shrink it on the
+    segmentation canvas — refused loudly rather than silently wrong
+    (ragged Z stays supported via the z_counts masking).
     """
-    from PIL import Image
 
-    def _mode_dtype(path):
-        try:
-            with Image.open(path) as im:
-                return _PIL_MODE_DTYPES.get(im.mode)
-        except OSError:
+    def _probe(path):
+        probed = tio.probe_image_header(path)
+        if probed is None:
             return None
+        dims, mode = probed
+        dtype = _PIL_MODE_DTYPES.get(mode)
+        if dtype is None:
+            return None
+        return dims, dtype
 
-    max_z = max_h = max_w = 0
+    max_z = 0
+    hw = None
     dtypes = []
     for files in img_paths.values():
         if isinstance(files, (list, tuple)):
@@ -478,28 +502,35 @@ def _probe_plate_geometry(img_paths):
             # and a mixed uint8/uint16 sequence promotes on decode
             d0 = None
             for pf in files:
-                d = tio.probe_image_dims(pf)
-                if d is None or d.T > 1 or d.C > 1 or d.Z > 1:
+                probed = _probe(pf)
+                if probed is None:
+                    return None
+                d, dtype = probed
+                dtypes.append(dtype)
+                if d.T > 1 or d.C > 1 or d.Z > 1:
                     return None
                 if d0 is None:
                     d0 = d
                 elif (d.Y, d.X) != (d0.Y, d0.X):
                     return None  # ragged slice dims -> buffered fallback
             z, h, w = len(files), d0.Y, d0.X
-            probe_files = files
         else:
-            d = tio.probe_image_dims(files)
-            if d is None or d.T > 1 or d.C > 1:
+            probed = _probe(files)
+            if probed is None:
+                return None
+            d, dtype = probed
+            dtypes.append(dtype)
+            if d.T > 1 or d.C > 1:
                 return None
             z, h, w = d.Z, d.Y, d.X
-            probe_files = [files]
-        for pf in probe_files:
-            dtype = _mode_dtype(pf)
-            if dtype is None:
-                return None
-            dtypes.append(dtype)
-        max_z, max_h, max_w = max(max_z, z), max(max_h, h), max(max_w, w)
-    return max_z, max_h, max_w, np.result_type(*dtypes)
+        if hw is None:
+            hw = (h, w)
+        elif hw != (h, w):
+            raise ValueError(
+                f"wells differ in spatial size: {hw} vs {(h, w)}"
+            )
+        max_z = max(max_z, z)
+    return max_z, hw[0], hw[1], np.result_type(*dtypes)
 
 
 def _well_loader(img_paths, decode_workers: int = 4, ahead: int = 8):
@@ -602,7 +633,17 @@ def main(args=None, argv=None):
     # header-only geometry probes: when every well's dims are readable
     # without decoding pixels, the plate streams (decode overlaps device
     # compute); otherwise fall back to the buffered load
-    plate_zhw = _probe_plate_geometry(img_paths)
+    try:
+        plate_zhw = _probe_plate_geometry(img_paths)
+    except ValueError as e:
+        print(
+            f"{SFM.failure} {e}. process_plate requires same-size wells "
+            "(padding smaller wells would bias their area denominator, GMM "
+            "threshold and segmentation scale); run compute_cell_area / "
+            "compute_branches per image for mixed-size inputs.",
+            flush=True,
+        )
+        sys.exit(1)
 
     model_cfg = args.model_cfg
     if not model_cfg:
@@ -638,6 +679,18 @@ def main(args=None, argv=None):
             if img.ndim == 2:
                 img = img[None]
             stacks.append(img)
+        hw_set = {(s.shape[1], s.shape[2]) for s in stacks}
+        if len(hw_set) > 1:
+            print(
+                f"{SFM.failure} wells differ in spatial size: "
+                f"{sorted(hw_set)}. process_plate requires same-size wells "
+                "(padding smaller wells would bias their area denominator, "
+                "GMM threshold and segmentation scale); run "
+                "compute_cell_area / compute_branches per image for "
+                "mixed-size inputs.",
+                flush=True,
+            )
+            sys.exit(1)
         max_z = max(s.shape[0] for s in stacks)
         max_h = max(s.shape[1] for s in stacks)
         max_w = max(s.shape[2] for s in stacks)
