@@ -289,7 +289,11 @@ def plate_stage1(
     )
     fn = _SEGMENT_CACHE.get_or_build(pred_func, key, build)
     if wm_small is None:
-        wm_small = jnp.ones((stacks.shape[0],) + tuple(target), jnp.float32)
+        # use_mask=False: the traced program never reads wm_s, so ship a
+        # per-well scalar placeholder instead of an (n, *target) f32 ones
+        # raster — that was ~target_h*target_w*4 B/well of dead H2D per
+        # chunk through the (slow) device link
+        wm_small = jnp.ones((stacks.shape[0], 1, 1), jnp.float32)
     if z_counts is None:
         z_counts = jnp.full((stacks.shape[0],), stacks.shape[1], jnp.int32)
     args = (
