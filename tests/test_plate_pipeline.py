@@ -287,6 +287,53 @@ def test_streaming_matches_independent_ops(tiny_segmentor, rng):
     )
 
 
+def test_stage1_fs_pre_projected_matches_in_program_projection(
+    tiny_segmentor, rng
+):
+    """fs + detect_well reuses the focus-stack projection computed for
+    well fitting as stage1's input (pre_projected=True) instead of
+    projecting the stack a second time in-program. Pin the substitution:
+    stage1 fed the precomputed fs projection must agree with stage1
+    projecting the raw stack itself, on every output."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmat_tpu.parallel import plate as PL
+    from tmat_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    hw = 64
+    plate = _plate(n_wells=n_dev, z=3, hw=hw, rng=rng).astype(np.uint8)
+    plate[-1, 2] = 0  # ragged Z: the masked projection must agree too
+    zcs = np.asarray([3] * (n_dev - 1) + [2], np.int32)
+    mesh = make_mesh(axis_names=("data",))
+    target = (hw, hw)
+    rr, cc = np.mgrid[0:hw, 0:hw]
+    wm = (rr - hw / 2) ** 2 + (cc - hw / 2) ** 2 <= (0.45 * hw) ** 2
+    wm_small = jnp.asarray(
+        np.repeat(wm[None].astype(np.float32), n_dev, 0)
+    )
+
+    kw = dict(proj_method="fs", z_counts=zcs, tta=1)
+    in_program = PL.plate_stage1(
+        mesh, jnp.asarray(plate), tiny_segmentor._pred_fn,
+        tiny_segmentor.patch_size, 2, target, -2.0, wm_small,
+        pre_projected=False, **kw,
+    )
+    proj = PL.plate_zproj_masked(mesh, jnp.asarray(plate), zcs, "fs").astype(
+        jnp.float32
+    )
+    pre_projected = PL.plate_stage1(
+        mesh, proj, tiny_segmentor._pred_fn,
+        tiny_segmentor.patch_size, 2, target, -2.0, wm_small,
+        pre_projected=True, **kw,
+    )
+    for got, want in zip(pre_projected, in_program):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-6
+        )
+
+
 def test_streaming_matches_buffered_detect_well(tiny_segmentor, rng):
     """-w in streaming mode (per-chunk mask fitting) must equal the
     array-entry path per well."""
