@@ -275,3 +275,47 @@ def test_region_expansion_matches_scatter_reference():
             compute_branches._region_expansion(seed_mask, vessels, iters=10)
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_append_csv_row_collision_contract(tmp_path):
+    """Reference contract (compute_branches.py:475-487): rows append to a
+    CSV this run created; a pre-existing CSV from an EARLIER run is never
+    appended to — it gets the first free ``-N`` sibling (N from 2)."""
+    from pathlib import Path
+
+    out = Path(tmp_path)
+    created = set()
+
+    # fresh dir: header written once, second row appends to the same file
+    compute_branches.append_csv_row(out, "", ["a", 1, 2.0, 3.0], created)
+    compute_branches.append_csv_row(out, "", ["b", 4, 5.0, 6.0], created)
+    base = out / "branching_analysis.csv"
+    rows = list(csv.reader(open(base, encoding="utf-16")))
+    assert [r[0] for r in rows] == ["Image", "a", "b"]
+
+    # a NEW run (fresh created-set) must not touch the existing CSV
+    created2 = set()
+    compute_branches.append_csv_row(out, "", ["c", 7, 8.0, 9.0], created2)
+    sib = out / "branching_analysis-2.csv"
+    assert sib.is_file()
+    rows2 = list(csv.reader(open(sib, encoding="utf-16")))
+    assert [r[0] for r in rows2] == ["Image", "c"]
+    assert [r[0] for r in csv.reader(open(base, encoding="utf-16"))] == [
+        "Image", "a", "b",
+    ]
+
+    # -2 also taken by an earlier run -> -3; and the run that OWNS -2
+    # keeps appending there even though the base file exists
+    created3 = set()
+    compute_branches.append_csv_row(out, "", ["d", 0, 0.0, 0.0], created3)
+    assert (out / "branching_analysis-3.csv").is_file()
+    compute_branches.append_csv_row(out, "", ["e", 1, 1.0, 1.0], created2)
+    assert [r[0] for r in csv.reader(open(sib, encoding="utf-16"))] == [
+        "Image", "c", "e",
+    ]
+
+    # sweep tag lands in the filename stem
+    compute_branches.append_csv_row(
+        out, "_CONFIG_thresh1_05", ["f", 1, 1.0, 1.0], created
+    )
+    assert (out / "branching_analysis_CONFIG_thresh1_05.csv").is_file()

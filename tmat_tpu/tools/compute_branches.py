@@ -70,24 +70,32 @@ def append_csv_row(
 ) -> None:
     """Append one result row to the sweep-config's UTF-16 CSV.
 
-    Keeps the reference's collision contract: a pre-existing CSV this run
-    did NOT create gets a ``-N`` suffixed sibling instead of being
-    appended to (compute_branches.py:475-487).
+    Keeps the reference's collision contract (behavior of
+    compute_branches.py:475-487): rows land in the first
+    ``branching_analysis{tag}[-N].csv`` (N = 2, 3, ...) that either this
+    run already opened or does not exist yet — a pre-existing CSV from an
+    earlier run is never appended to, it gets a suffixed sibling.
     """
-    output_file = output_dir / f"branching_analysis{tuned_str}.csv"
-    csv_num = 1
-    while output_file.is_file() and str(output_file) not in created_csv_files:
-        csv_num += 1
-        output_file = output_dir / f"branching_analysis{tuned_str}-{csv_num}.csv"
-    if str(output_file) not in created_csv_files:
-        create_output_csv(output_file)
-        created_csv_files.add(str(output_file))
 
-    with open(output_file, "a", encoding="utf-16") as f:
-        writer = csv.writer(f, lineterminator="\n")
-        writer.writerow(fields)
+    def candidates():
+        yield output_dir / f"branching_analysis{tuned_str}.csv"
+        n = 2
+        while True:
+            yield output_dir / f"branching_analysis{tuned_str}-{n}.csv"
+            n += 1
 
-    print(f"Results saved to {output_file}.", flush=True)
+    for path in candidates():
+        ours = str(path) in created_csv_files
+        if ours or not path.is_file():
+            break
+    if not ours:
+        create_output_csv(path)
+        created_csv_files.add(str(path))
+
+    with open(path, "a", encoding="utf-16") as f:
+        csv.writer(f, lineterminator="\n").writerow(fields)
+
+    print(f"Results saved to {path}.", flush=True)
 
 
 def save_vis(img, save_dir, filename) -> None:
