@@ -93,3 +93,50 @@ def test_demo_plate_deterministic():
     assert ids1 == ids2 == ["W0", "W1", "W2", "W3"]
     p3, _ = make_demo_plate(4, seed=8)
     assert not np.array_equal(p1, p3)
+
+
+@pytest.mark.slow
+def test_validate_outputs_accepts_global_arrays_two_process():
+    """AOT first-call validation must not misread global arrays as poisoned.
+
+    On a pod, a deserialized executable's outputs are GLOBAL arrays whose
+    shards span other processes; ``np.asarray`` on those raises a
+    spans-non-addressable-devices error, which the old validation treated
+    as a lazily-failing entry — every warm multi-process load was
+    unlinked and recompiled, silently defeating the pod-aware warmup.
+    Asserts, inside a real 2-process job: (a) the np.asarray failure mode
+    exists (if JAX ever lifts it, the shard-wise workaround can go), and
+    (b) aot_cache.validate_outputs accepts the same array by
+    materializing only the process's own shards.
+    """
+    from tmat_tpu.parallel.validation import run_coordinated_workers
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tmat_tpu.parallel.distributed import maybe_initialize_from_env, put_global
+assert maybe_initialize_from_env()
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from tmat_tpu.core.aot_cache import validate_outputs
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+sh = NamedSharding(mesh, P("data"))
+fn = jax.jit(lambda x: x * 2 + 1, in_shardings=(sh,), out_shardings=sh)
+out = fn(put_global(np.arange(8, dtype=np.float32), sh))
+assert not out.is_fully_addressable
+try:
+    np.asarray(out)
+except RuntimeError:
+    pass
+else:
+    raise AssertionError(
+        "np.asarray on a non-addressable global array no longer raises; "
+        "validate_outputs' shard-wise path may be removable"
+    )
+validate_outputs(out)  # must NOT raise
+validate_outputs({"a": out, "b": np.float32(1.0)})  # pytree + host leaf
+print("VALIDATE_OK")
+"""
+    outs = run_coordinated_workers(["-c", code], n_processes=2, n_local=4)
+    assert all("VALIDATE_OK" in o for o in outs)

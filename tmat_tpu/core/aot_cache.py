@@ -136,6 +136,34 @@ def clear_memory_memo() -> None:
         _MEM.clear()
 
 
+def validate_outputs(out) -> None:
+    """Force a program's outputs to host so lazy execution failures surface.
+
+    Deserialized executables can fail LAZILY: execution enqueues fine but
+    the output buffers error at materialization. Materializing every leaf
+    flushes that out — but multi-controller outputs are GLOBAL arrays whose
+    shards span other processes, and ``np.asarray`` on those raises a
+    spans-non-addressable-devices error that has nothing to do with the
+    entry's health. Validating with it made every warm multi-process load
+    look poisoned (unlinked + recompiled on every pod run, silently
+    defeating the pod-aware warmup). So: materialize only this process's
+    addressable shards — lazy buffer errors still surface there, and every
+    process validates its own shards.
+    """
+    import jax
+    import numpy as np
+
+    def _force_to_host(leaf):
+        shards = getattr(leaf, "addressable_shards", None)
+        if shards is None:
+            np.asarray(leaf)
+        else:
+            for shard in shards:
+                np.asarray(shard.data)
+
+    jax.tree.map(_force_to_host, out)
+
+
 def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
     """Execute ``jitted(*args)`` through the executable cache.
 
@@ -169,10 +197,7 @@ def aot_call(jitted: Callable, args: Tuple, key_parts, label: str = ""):
         try:
             t0 = time.perf_counter()
             out = compiled(*args)
-            import jax
-            import numpy as np
-
-            jax.tree.map(np.asarray, out)
+            validate_outputs(out)
             stats["validate_s"] += time.perf_counter() - t0
         except Exception:
             stats["errors"] += 1
